@@ -38,7 +38,7 @@ class PipelineConfig:
     # --- thresholds ---
     jaccard_threshold: float = 0.5       # MinHash-estimated Jaccard for a verified pair
     containment_threshold: float = 0.8   # containment estimate for the suffix pass
-    anchor_mod: int = 8                  # shingle sampled as anchor when h % anchor_mod == 0
+    anchor_mod: int = 4                  # shingle sampled as anchor when h % anchor_mod == 0
 
     # --- skew handling ---
     hot_bucket_cap: int = 4096           # groups larger than this are salted into sub-buckets

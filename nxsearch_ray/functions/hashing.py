@@ -162,6 +162,40 @@ def shingle_hashes(token_hashes: np.ndarray, doc_offsets: np.ndarray,
         np.seterr(**old)
 
 
+def sequence_hashes(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit hash of each document's full token-hash
+    sequence (polynomial hash, vectorized with per-position powers +
+    segment sums).  Two docs share it iff their canonical token
+    sequences are identical — the exact-duplicate pass key."""
+    old = np.seterr(over="ignore")
+    try:
+        offsets = np.asarray(offsets, dtype=np.int64)
+        ndocs = len(offsets) - 1
+        out = np.zeros(ndocs, dtype=_U64)
+        n = len(flat)
+        if n == 0 or ndocs == 0:
+            counts = (offsets[1:] - offsets[:-1]).astype(_U64)
+            return splitmix64(out ^ splitmix64(counts))
+        counts = offsets[1:] - offsets[:-1]
+        C = _U64(0x100000001B3)
+        maxlen = int(counts.max())
+        powers = np.empty(maxlen + 1, dtype=_U64)
+        powers[0] = _U64(1)
+        for j in range(1, maxlen + 1):
+            powers[j] = (powers[j - 1] * C) & _MASK64
+        # exponent of position i (global) = (doc_end - 1 - i)
+        ends = np.repeat(offsets[1:], counts)
+        exp = ends - 1 - np.arange(n, dtype=np.int64)
+        weighted = (splitmix64(flat) * powers[exp]) & _MASK64
+        nonempty = counts > 0
+        sums = np.add.reduceat(weighted, offsets[:-1][nonempty])
+        out[nonempty] = sums
+        # fold in length so prefix-of-zeros style collisions need equal len
+        return splitmix64(out ^ splitmix64(counts.astype(_U64)))
+    finally:
+        np.seterr(**old)
+
+
 def unique_per_doc(flat: np.ndarray, offsets: np.ndarray
                    ) -> tuple[np.ndarray, np.ndarray]:
     """Sorted-unique values per document segment, vectorized.

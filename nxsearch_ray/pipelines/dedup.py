@@ -1,0 +1,194 @@
+"""The flagship pipeline: near-duplicate detection + clustering.
+
+End-to-end dataflow (physical plan in SURVEY.md §4):
+
+  pages (url, warc_ts, html, text, lang)
+    → extract_text            [map_batches, html dropped immediately]
+    → canonicalize            [actor pool: tokenizer + filter chain]
+    → signatures              [actor pool: shingles → MinHash/SimHash/
+                               bottom-k/anchors]
+    → 3 candidate passes      [explode keys → groupby shuffle → pairs]:
+        minhash: LSH bands      simhash: Hamming chunks
+        suffix:  anchor shingles
+    → union + exact pair dedup (source sets)      [groupby (a,b)]
+    → verification            [broadcast signature index (default) or
+                               bucketed hash joins (scale path)]
+    → exact suffix-automaton verify for screen-only survivors
+    → connected components    [driver union-find | label propagation]
+    → clusters (page_id, cluster_id)
+
+Materialization policy: `canonical` and `signatures` are consumed by
+several downstream passes, so they are pinned once — to Parquet
+checkpoints when ``out_dir`` is given (resumable, with lineage
+manifests), else to the object store (``materialize()``).  Everything
+else streams.  All hashing is seeded from the config; output is
+invariant to parallelism and retries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from nxsearch_ray.config import PipelineConfig
+from nxsearch_ray.stages.canonicalize import canonicalize_stage
+from nxsearch_ray.stages.cc import cc_driver_unionfind, cc_label_propagation
+from nxsearch_ray.stages.html_extract import extract_stage
+from nxsearch_ray.stages.pairs import (
+    candidate_pairs,
+    explode_anchors,
+    explode_minhash_bands,
+    explode_seq_hash,
+    explode_simhash_chunks,
+    union_pair_sources,
+)
+from nxsearch_ray.stages.signatures import signature_stage
+from nxsearch_ray.stages.suffix import (
+    collect_token_index,
+    suffix_verify_broadcast,
+)
+from nxsearch_ray.stages.verify import (
+    collect_signature_index,
+    verify_pairs_broadcast,
+    verify_pairs_bucketed,
+)
+from nxsearch_ray.state.lineage import checkpoint
+
+
+@dataclass
+class DedupResult:
+    clusters: "object"            # Dataset | pa.Table: page_id, cluster_id
+    verified_pairs: "object"      # Dataset: a, b, source
+    stats: dict = field(default_factory=dict)
+
+
+def _pin(ds_factory, out_dir, stage, cfg, stats):
+    """Checkpoint to parquet (resumable) or pin in the object store."""
+    if out_dir is not None:
+        ds, skipped = checkpoint(ds_factory, out_dir, stage, cfg)
+        stats[f"{stage}_resumed"] = skipped
+        return ds
+    return ds_factory().materialize()
+
+
+def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
+              out_dir: str | None = None,
+              verify_mode: str = "broadcast",
+              cc_mode: str = "driver",
+              enable_suffix_pass: bool = True) -> DedupResult:
+    """Run the full near-dup pipeline over a pages Dataset.
+
+    ``verify_mode``: 'broadcast' (signature index via ray.put) or
+    'bucketed' (partitioned hash joins — the 10^12-doc plan).
+    ``cc_mode``: 'driver' (union-find reducer over the streamed pair
+    batches) or 'labelprop' (distributed min-label propagation).
+    """
+    import ray
+
+    cfg = cfg or PipelineConfig()
+    stats: dict = {}
+
+    canonical = _pin(
+        lambda: canonicalize_stage(extract_stage(pages_ds), cfg),
+        out_dir, "canonical", cfg, stats)
+    signatures = _pin(
+        lambda: signature_stage(canonical, cfg),
+        out_dir, "signatures", cfg, stats)
+
+    cfg_json = cfg.to_json()
+    sources = [
+        candidate_pairs(
+            signatures.map_batches(explode_seq_hash,
+                                   batch_format="pyarrow"),
+            cfg, "exact"),
+        candidate_pairs(
+            signatures.map_batches(explode_minhash_bands(cfg_json),
+                                   batch_format="pyarrow"),
+            cfg, "minhash"),
+        candidate_pairs(
+            signatures.map_batches(explode_simhash_chunks(cfg_json),
+                                   batch_format="pyarrow"),
+            cfg, "simhash"),
+    ]
+    if enable_suffix_pass:
+        sources.append(candidate_pairs(
+            signatures.map_batches(explode_anchors,
+                                   batch_format="pyarrow"),
+            cfg, "suffix"))
+
+    candidates = union_pair_sources(*sources)
+
+    if verify_mode == "broadcast":
+        sig_idx_ref = ray.put(collect_signature_index(signatures, cfg))
+        scored = verify_pairs_broadcast(candidates, sig_idx_ref, cfg)
+    elif verify_mode == "bucketed":
+        scored = verify_pairs_bucketed(candidates, signatures, cfg)
+    else:
+        raise ValueError(f"unknown verify_mode {verify_mode!r}")
+
+    def split_direct(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("keep_minsim")) \
+            .select(["a", "b", "source"])
+
+    direct = scored.map_batches(split_direct, batch_format="pyarrow")
+
+    if enable_suffix_pass:
+        scored = scored.materialize()
+        direct = scored.map_batches(split_direct, batch_format="pyarrow")
+
+        def split_exact(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            m = pc.and_(pc.invert(t.column("keep_minsim")),
+                        t.column("keep_suffix_screen"))
+            return t.filter(m).select(["a", "b", "source"])
+
+        need_exact = scored.map_batches(split_exact,
+                                        batch_format="pyarrow")
+        tok_idx_ref = ray.put(collect_token_index(canonical))
+        exact = suffix_verify_broadcast(need_exact, tok_idx_ref, cfg) \
+            .select_columns(["a", "b", "source"])
+        all_pairs = direct.union(exact)
+    else:
+        all_pairs = direct
+
+    if out_dir is not None:
+        all_pairs, skipped = checkpoint(lambda: all_pairs, out_dir,
+                                        "verified_pairs", cfg)
+        stats["verified_pairs_resumed"] = skipped
+
+    if cc_mode == "driver":
+        clusters = cc_driver_unionfind(all_pairs)  # pa.Table
+        if out_dir is not None:
+            import ray.data as rd
+
+            tbl = clusters
+            clusters, _ = checkpoint(lambda: rd.from_arrow(tbl),
+                                     out_dir, "clusters", cfg)
+    elif cc_mode == "labelprop":
+        clusters = cc_label_propagation(all_pairs)
+        if out_dir is not None:
+            clusters, _ = checkpoint(lambda: clusters, out_dir,
+                                     "clusters", cfg)
+    else:
+        raise ValueError(f"unknown cc_mode {cc_mode!r}")
+
+    return DedupResult(clusters=clusters, verified_pairs=all_pairs,
+                       stats=stats)
+
+
+def clusters_as_table(result: DedupResult) -> pa.Table:
+    import numpy as np
+
+    from nxsearch_ray.stages.cc import CLUSTER_SCHEMA
+
+    c = result.clusters
+    if not isinstance(c, pa.Table):
+        batches = list(c.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"))
+        c = (pa.concat_tables(batches) if batches
+             else CLUSTER_SCHEMA.empty_table())
+    if c.num_rows == 0:
+        return c
+    order = np.argsort(c.column("page_id").to_numpy(), kind="stable")
+    return c.take(pa.array(order, type=pa.int64()))

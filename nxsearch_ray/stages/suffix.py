@@ -1,0 +1,101 @@
+"""Suffix/containment pass: exact long-span substring verification.
+
+Candidate generation is the anchor-bucket shuffle (stages/pairs.py
+``explode_anchors``: content-defined anchor shingles, h % anchor_mod ==
+0, shared by containing and contained documents).  Survivors of the
+bottom-k containment screen are verified *exactly* with a suffix
+automaton over canonical token-id sequences (functions/suffix.py).
+
+The token sequences are fetched by broadcast lookup (test scale) —
+at 10^12 docs this becomes the bucketed hash-join plan exactly like
+stages/verify.py; both paths share the per-pair math.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from nxsearch_ray.config import PipelineConfig
+from nxsearch_ray.functions.suffix import lcs_tokens
+from nxsearch_ray.stages.signatures import list_column_numpy
+
+SUFFIX_PAIR_SCHEMA = pa.schema([
+    ("a", pa.int64()), ("b", pa.int64()), ("source", pa.string()),
+    ("lcs_len", pa.int32()), ("containment", pa.float64())])
+
+
+@dataclass
+class TokenIndex:
+    """page_id → canonical token-id sequence, broadcast via ray.put."""
+
+    page_ids: np.ndarray     # (n,) int64 sorted
+    tok_flat: np.ndarray     # uint64 concatenated
+    tok_offsets: np.ndarray  # (n+1,) int64
+
+    @classmethod
+    def from_table(cls, t: pa.Table) -> "TokenIndex":
+        page = t.column("page_id").to_numpy()
+        order = np.argsort(page, kind="stable")
+        t = t.take(pa.array(order, type=pa.int64()))
+        flat, off = list_column_numpy(t.column("token_ids"))
+        return cls(page_ids=page[order], tok_flat=flat, tok_offsets=off)
+
+    def tokens_for(self, pid: int) -> np.ndarray:
+        pos = int(np.searchsorted(self.page_ids, pid))
+        if pos >= len(self.page_ids) or self.page_ids[pos] != pid:
+            raise KeyError(pid)
+        return self.tok_flat[self.tok_offsets[pos]:self.tok_offsets[pos + 1]]
+
+
+def collect_token_index(canonical_ds) -> TokenIndex:
+    t = pa.concat_tables(
+        b for b in canonical_ds.select_columns(["page_id", "token_ids"])
+        .iter_batches(batch_size=8192, batch_format="pyarrow"))
+    return TokenIndex.from_table(t)
+
+
+def exact_containment_table(pairs: pa.Table, idx: TokenIndex,
+                            cfg: PipelineConfig) -> pa.Table:
+    """Per-pair suffix-automaton verification (shared with the oracle).
+    Keeps pairs whose exact containment ≥ containment_threshold."""
+    a = pairs.column("a").to_numpy()
+    b = pairs.column("b").to_numpy()
+    lcs = np.zeros(len(a), dtype=np.int32)
+    con = np.zeros(len(a), dtype=np.float64)
+    for i in range(len(a)):
+        ta = idx.tokens_for(int(a[i]))
+        tb = idx.tokens_for(int(b[i]))
+        m = min(len(ta), len(tb))
+        if m == 0:
+            continue
+        lcs[i] = lcs_tokens(ta.tolist(), tb.tolist())
+        con[i] = lcs[i] / m
+    keep = con >= cfg.containment_threshold
+    out = pa.Table.from_arrays(
+        [pairs.column("a"), pairs.column("b"),
+         pa.array(["suffix"] * len(a), type=pa.string()),
+         pa.array(lcs), pa.array(con)],
+        schema=SUFFIX_PAIR_SCHEMA)
+    return out.filter(pa.array(keep))
+
+
+class SuffixVerifyActor:
+    def __init__(self, idx_ref, cfg_json: str):
+        import ray
+        self.idx = ray.get(idx_ref) if not isinstance(
+            idx_ref, TokenIndex) else idx_ref
+        self.cfg = PipelineConfig.from_json(cfg_json)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return exact_containment_table(batch, self.idx, self.cfg)
+
+
+def suffix_verify_broadcast(pairs_ds, idx_ref, cfg: PipelineConfig,
+                            concurrency=(1, 8)):
+    return pairs_ds.map_batches(
+        SuffixVerifyActor, fn_constructor_args=(idx_ref, cfg.to_json()),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency, num_cpus=1)
