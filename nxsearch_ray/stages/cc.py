@@ -102,17 +102,16 @@ def cc_label_propagation(pairs_ds, *, max_rounds: int = 50):
             .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
 
         def propagate(g: pa.Table) -> pa.Table:
-            lab = g.column("label").to_numpy(zero_copy_only=False)
-            lab = lab[lab != None]  # noqa: E711  (object array w/ nulls)
-            node_label = int(lab.min()) if len(lab) else None
-            dst = g.column("dst").to_numpy(zero_copy_only=False)
-            dst = dst[dst != None]  # noqa: E711
+            import pyarrow.compute as pc
             node = g.column("node")[0].as_py()
-            out_nodes = [node] + [int(d) for d in dst]
-            out_labels = [node_label] * len(out_nodes)
+            lab = g.column("label").drop_null()
+            node_label = (pc.min(lab).as_py() if len(lab) else node)
+            dst = g.column("dst").drop_null().to_pylist()
+            out_nodes = [node] + dst
             return pa.Table.from_arrays(
                 [pa.array(out_nodes, type=pa.int64()),
-                 pa.array(out_labels, type=pa.int64())],
+                 pa.array([node_label] * len(out_nodes),
+                          type=pa.int64())],
                 names=["node", "label"])
 
         msgs = tagged.groupby("node").map_groups(
