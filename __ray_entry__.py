@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library) may call ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data operators (dedup variants, ANN,
+text stats, multimodal plumbing).  Where the semantics are expressible
+in ANSI SQL, ``oracle_sql()`` carries the DuckDB-equivalent query over
+the same parquet tables; the `pages` table (north-rule input shape) is
+derived from `documents` by a deterministic, SQL-reproducible CTE
+(see nxsearch_ray/sources/pages.py) so both sides compute over
+identical inputs.  Non-SQL-expressible pipelines (MinHash/LSH
+clustering, language-ID, LSH ANN) are rows-only checks backed by
+pure-python oracles in tests/.
 """
 
 from __future__ import annotations
@@ -18,27 +20,396 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+from nxsearch_ray.config import PipelineConfig
+
+# ------------------------------------------------------------------
+# shared pages derivation (SQL mirror of sources/pages.py)
+
+PAGES_CTE = """
+pages AS (
+  SELECT doc_id*4 AS page_id,
+         'https://' || source || '.example.org/doc/' || doc_id AS url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(doc_id % 86400) AS warc_ts,
+         text, lang, 'orig' AS variant
+  FROM documents
+  UNION ALL
+  SELECT doc_id*4+1,
+         'https://' || source || '.example.org/doc/' || doc_id || '/copy',
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(doc_id % 86400 + 3600),
+         text, lang, 'copy'
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id*4+2,
+         'https://' || source || '.example.org/doc/' || doc_id || '/tail',
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(doc_id % 86400 + 7200),
+         regexp_replace(text, '^(\\S+ ){5}', ''), lang, 'tail'
+  FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+_CFG = PipelineConfig()
+_DEDUP_CACHE: dict[str, Any] = {}
+
+
+def _pages(sf_dir: str, include_html: bool = True):
+    from nxsearch_ray.sources.pages import pages_dataset
+
+    return pages_dataset(sf_dir, include_html=include_html)
+
+
+def _dedup(sf_dir: str):
+    """Memoized flagship run (several queries expose its outputs)."""
+    if sf_dir not in _DEDUP_CACHE:
+        from nxsearch_ray.pipelines.dedup import run_dedup
+
+        _DEDUP_CACHE[sf_dir] = run_dedup(_pages(sf_dir), _CFG)
+    return _DEDUP_CACHE[sf_dir]
+
+
+# ------------------------------------------------------------------
+# query implementations (each: sf_dir -> Dataset | pa.Table | DataFrame)
+
+def q_pages_build(sf_dir: str):
+    import pyarrow.compute as pc
+
+    def project(t: pa.Table) -> pa.Table:
+        html_len = pc.binary_length(t.column("html")).cast(pa.int64())
+        return t.drop_columns(["html"]).append_column(
+            pa.field("html_len", pa.int64()), html_len)
+
+    return _pages(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+def q_extract_text(sf_dir: str):
+    from nxsearch_ray.stages.html_extract import extract_stage
+
+    # drop the source text first: extraction must reproduce it from
+    # html alone (the byte-identical invariant)
+    ds = _pages(sf_dir).drop_columns(["text", "variant"])
+    return extract_stage(ds).select_columns(["page_id", "url", "text"])
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact-duplicate groups by content hash: one row per distinct
+    text with ≥2 pages; canonical page = min page_id."""
+    import hashlib
+
+    def add_md5(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5((x or "").encode()).hexdigest()
+                for x in t.column("text").to_pylist()]
+        return t.select(["page_id"]).append_column(
+            pa.field("text_md5", pa.string()),
+            pa.array(md5s, type=pa.string()))
+
+    keyed = _pages(sf_dir, include_html=False).map_batches(
+        add_md5, batch_format="pyarrow")
+
+    out_schema = pa.schema([("text_md5", pa.string()),
+                            ("n_dups", pa.int64()),
+                            ("canonical_page_id", pa.int64())])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return out_schema.empty_table()
+        pid = g.column("page_id").to_numpy()
+        return pa.Table.from_arrays(
+            [g.column("text_md5").slice(0, 1),
+             pa.array([g.num_rows], type=pa.int64()),
+             pa.array([int(pid.min())], type=pa.int64())],
+            schema=out_schema)
+
+    return keyed.groupby("text_md5").map_groups(per_group,
+                                                batch_format="pyarrow")
+
+
+def q_doc_stats(sf_dir: str):
+    import ray.data
+
+    from nxsearch_ray.stages.textstats import doc_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(doc_stats, batch_format="pyarrow") \
+        .drop_columns(["text"])
+
+
+def q_lang_counts(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang"])
+    out = ds.groupby("lang").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["lang", "n_docs"]),
+        batch_format="pyarrow")
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from nxsearch_ray.stages.setsim import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_pages(sf_dir, include_html=False),
+                               n=3, threshold=0.5)
+
+
+def q_fingerprint(sf_dir: str):
+    import ray.data
+
+    from nxsearch_ray.stages.textstats import fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint, batch_format="pyarrow") \
+        .select_columns(["doc_id", "md5"])
+
+
+_ANN_NQ = 4
+_ANN_K = 10
+# sandbox embeddings are near-random (max pairwise cos ≈ 0.51 at
+# sf0.01): the dup threshold is set low so the parity check is non-empty
+_EMB_DUP_THR = 0.45
+
+
+def _query_vectors(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    t = t.filter(pc.less(t.column("vec_id"), _ANN_NQ))
+    t = t.take(pa.array(np.argsort(t.column("vec_id").to_numpy()),
+                        type=pa.int64()))
+    from nxsearch_ray.stages.signatures import list_column_numpy
+
+    flat, off = list_column_numpy(t.column("embedding"),
+                                  dtype=np.float64)
+    dim = int(off[1] - off[0])
+    return {"qids": t.column("vec_id").to_numpy(),
+            "vectors": flat.reshape(-1, dim)}
+
+
+def q_ann_topk(sf_dir: str):
+    import ray
+    import ray.data
+
+    from nxsearch_ray.stages.ann import brute_force_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qref = ray.put(_query_vectors(sf_dir))
+    out = brute_force_topk(ds, qref, _ANN_K)
+    return out.select_columns(["qid", "vec_id"])
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    import ray
+    import ray.data
+
+    from nxsearch_ray.stages.ann import lsh_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qref = ray.put(_query_vectors(sf_dir))
+    return lsh_topk(ds, qref, _ANN_K, nbits=8).select_columns(
+        ["qid", "vec_id"])
+
+
+def q_dedup_clusters(sf_dir: str):
+    from nxsearch_ray.pipelines.dedup import clusters_as_table
+
+    return clusters_as_table(_dedup(sf_dir))
+
+
+def q_dedup_pairs(sf_dir: str):
+    return _dedup(sf_dir).verified_pairs
+
+
+def q_cluster_sizes(sf_dir: str):
+    from nxsearch_ray.pipelines.dedup import clusters_as_table
+
+    t = q_dedup_clusters(sf_dir)
+    import pandas as pd
+
+    df = t.to_pandas().groupby("cluster_id").size() \
+        .reset_index(name="size").sort_values(
+            ["size", "cluster_id"], ascending=[False, True]).head(20)
+    return df.reset_index(drop=True)
+
+
+def q_signatures(sf_dir: str):
+    from nxsearch_ray.stages.canonicalize import canonicalize_stage
+    from nxsearch_ray.stages.html_extract import extract_stage
+    from nxsearch_ray.stages.signatures import signature_stage
+
+    canon = canonicalize_stage(extract_stage(_pages(sf_dir)), _CFG)
+    sigs = signature_stage(canon, _CFG)
+    return sigs.select_columns(
+        ["page_id", "simhash", "num_shingles", "seq_hash"])
+
+
+def q_canonicalize(sf_dir: str):
+    from nxsearch_ray.stages.canonicalize import canonicalize_stage
+    from nxsearch_ray.stages.html_extract import extract_stage
+
+    canon = canonicalize_stage(extract_stage(_pages(sf_dir)), _CFG)
+    return canon.select_columns(["page_id", "doc_len", "n_unique"])
+
+
+def q_langid(sf_dir: str):
+    import ray.data
+
+    from nxsearch_ray.stages.textstats import LangIdActor
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(LangIdActor, batch_format="pyarrow",
+                          concurrency=(1, 4)).drop_columns(["text"])
+
+
+def q_image_features(sf_dir: str):
+    from nxsearch_ray.stages.multimodal import image_features_stage
+
+    # html binary payloads stand in for image bytes: the plumbing
+    # (schema/batching/actor lifecycle) is what's under test
+    ds = _pages(sf_dir).select_columns(["page_id", "html"])
+    out = image_features_stage(ds, binary_col="html",
+                               deterministic_fake=True)
+    return out.select_columns(
+        ["page_id", "width", "height", "payload_bytes"])
+
+
+def _corpus_vectors(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    from nxsearch_ray.stages.signatures import list_column_numpy
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    flat, off = list_column_numpy(t.column("embedding"),
+                                  dtype=np.float64)
+    dim = int(off[1] - off[0])
+    return {"ids": t.column("vec_id").to_numpy(),
+            "vectors": flat.reshape(-1, dim)}
+
+
+def q_embedding_dups(sf_dir: str):
+    import ray
+    import ray.data
+
+    from nxsearch_ray.stages.ann import embedding_dup_pairs_exact
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cref = ray.put(_corpus_vectors(sf_dir))
+    return embedding_dup_pairs_exact(ds, cref, threshold=_EMB_DUP_THR)
+
+
+def q_embedding_dups_lsh(sf_dir: str):
+    import ray.data
+
+    from nxsearch_ray.stages.ann import embedding_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=_EMB_DUP_THR, nbits=8)
+
+
+# ------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full near-dup pipeline at sf0.001 → clusters table."""
+    return q_dedup_clusters("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pages_build": q_pages_build,
+        "extract_text": q_extract_text,
+        "exact_dedup": q_exact_dedup,
+        "doc_stats": q_doc_stats,
+        "lang_counts": q_lang_counts,
+        "ngram_jaccard": q_ngram_jaccard,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_pairs": q_dedup_pairs,
+        "cluster_sizes": q_cluster_sizes,
+        "signatures": q_signatures,
+        "canonicalize": q_canonicalize,
+        "langid": q_langid,
+        "image_features": q_image_features,
+        "embedding_dups": q_embedding_dups,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nxsearch_ray.stages.textstats import doc_stats_sql
+
+    stats = doc_stats_sql("text")
+    stats_select = ", ".join(f"{expr} AS {name}"
+                             for name, expr in stats.items())
+    return {
+        "pages_build": f"""
+WITH {PAGES_CTE}
+SELECT page_id, url, warc_ts, text, lang, variant,
+       strlen(url) + strlen(text) + 61 AS html_len
+FROM pages
+""",
+        "extract_text": f"""
+WITH {PAGES_CTE}
+SELECT page_id, url, text FROM pages
+""",
+        "exact_dedup": f"""
+WITH {PAGES_CTE}
+SELECT md5(text) AS text_md5, count(*) AS n_dups,
+       min(page_id) AS canonical_page_id
+FROM pages GROUP BY md5(text) HAVING count(*) >= 2
+""",
+        "doc_stats": f"SELECT doc_id, {stats_select} FROM documents",
+        "lang_counts": ("SELECT lang, count(*) AS n_docs FROM documents "
+                        "GROUP BY lang"),
+        "ngram_jaccard": f"""
+WITH {PAGES_CTE},
+w AS (SELECT page_id, regexp_extract_all(text, '\\S+') AS ws FROM pages),
+g AS (SELECT page_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws)-2, 0)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+      FROM w),
+p AS (SELECT ga.page_id AS a, gb.page_id AS b,
+             len(list_intersect(ga.grams, gb.grams)) AS n_common,
+             len(ga.grams) AS size_a, len(gb.grams) AS size_b
+      FROM g ga JOIN g gb ON ga.page_id < gb.page_id)
+SELECT a, b, n_common, size_a, size_b,
+       n_common::DOUBLE / (size_a + size_b - n_common) AS jaccard
+FROM p
+WHERE n_common > 0
+  AND n_common::DOUBLE / (size_a + size_b - n_common) >= 0.5
+""",
+        "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "ann_topk": f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < {_ANN_NQ}),
+s AS (SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS score
+      FROM embeddings e CROSS JOIN q)
+SELECT qid, vec_id FROM s
+QUALIFY row_number() OVER (PARTITION BY qid
+                           ORDER BY score DESC, vec_id ASC) <= {_ANN_K}
+""",
+        "embedding_dups": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       list_cosine_similarity(a.v, b.v) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+""",
+    }

@@ -98,7 +98,12 @@ def hash_strings(values=None, offsets: np.ndarray | None = None,
             np.clip(idx, 0, max(len(data) - 1, 0), out=idx)
             mat = data[idx] * valid
             for j in range(w):
-                h = ((h ^ mat[:, j].astype(_U64)) * _FNV_PRIME) & _MASK64
+                # only strings long enough take this byte's fold —
+                # otherwise the hash would depend on the longest string
+                # in the batch (batch-composition-dependent hashes)
+                folded = ((h ^ mat[:, j].astype(_U64)) * _FNV_PRIME) \
+                    & _MASK64
+                h = np.where(valid[:, j], folded, h)
         # Fold in the true length and the seed; finalize.
         h ^= splitmix64(lengths.astype(_U64) ^ _U64(seed & 0xFFFFFFFFFFFFFFFF))
         return splitmix64(h)

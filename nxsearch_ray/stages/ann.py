@@ -1,0 +1,228 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+Two plans:
+
+  * **Brute-force cosine top-k** (baseline, exact): the query matrix is
+    broadcast once (`ray.put`); every batch does one float64 matmul
+    against it and emits its local top-k per query (partial top-k
+    combiner); a final small groupby keeps the global top-k.  No
+    full-corpus materialization — the big side streams.
+  * **LSH-bucketed** (scale path): random-hyperplane sign bits bucket
+    the corpus; queries probe only their bucket (+ optional
+    multiprobe by flipping low-confidence bits).  Approximate; recall
+    measured against brute force in tests.
+
+Also: embedding-cosine near-duplicate pairs (all pairs with cosine ≥
+threshold) via the same hyperplane bucketing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from nxsearch_ray.functions.hashing import splitmix64
+from nxsearch_ray.stages.pairs import pairs_within
+from nxsearch_ray.stages.signatures import list_column_numpy
+
+TOPK_SCHEMA = pa.schema([("qid", pa.int64()), ("vec_id", pa.int64()),
+                         ("score", pa.float64())])
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    flat, off = list_column_numpy(batch.column(col), dtype=np.float64)
+    dim = off[1] - off[0] if len(off) > 1 else 0
+    return flat.reshape(-1, int(dim))
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """Actor: query matrix fetched once per actor; per-batch matmul +
+    local top-k per query."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+        import ray
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) \
+            else queries_ref
+        self.qids = np.asarray(q["qids"], dtype=np.int64)
+        self.qmat = _normalize(np.asarray(q["vectors"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        mat = _normalize(_embedding_matrix(batch, self.emb_col))
+        sims = mat @ self.qmat.T                     # (n, nq)
+        k = min(self.k, sims.shape[0])
+        out_q, out_v, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            col = sims[:, j]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(col) \
+                else np.arange(len(col))
+            out_q.append(np.full(len(top), self.qids[j], dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(col[top])
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(out_q)),
+             pa.array(np.concatenate(out_v)),
+             pa.array(np.concatenate(out_s), type=pa.float64())],
+            schema=TOPK_SCHEMA)
+
+
+def brute_force_topk(emb_ds, queries_ref, k: int, *,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     concurrency=(1, 8)):
+    """Global exact top-k per query: per-batch partial top-k, then one
+    per-query reduce (tiny: nq × k × batches rows)."""
+    partial = emb_ds.map_batches(
+        BruteForceTopK, fn_constructor_args=(queries_ref, k, id_col,
+                                             emb_col),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency, num_cpus=1)
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        s = g.column("score").to_numpy()
+        v = g.column("vec_id").to_numpy()
+        order = np.lexsort((v, -s))[:k]     # score desc, vec_id asc
+        return g.take(pa.array(order, type=pa.int64()))
+
+    return partial.groupby("qid").map_groups(final_topk,
+                                             batch_format="pyarrow")
+
+
+def hyperplane_signs(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n,) uint64 sign-bit signature of each row against ≤64 planes."""
+    bits = (mat @ planes.T) >= 0.0          # (n, nbits)
+    out = np.zeros(len(mat), dtype=np.uint64)
+    for j in range(planes.shape[0]):
+        out |= bits[:, j].astype(np.uint64) << np.uint64(j)
+    return out
+
+
+def make_planes(dim: int, nbits: int, seed: int) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes from the config seed (Box-
+    Muller over splitmix64 streams — no np.random state involved)."""
+    n = nbits * dim
+    u = (splitmix64(np.arange(2 * n, dtype=np.uint64)
+                    ^ np.uint64(seed)).astype(np.float64) + 1.0) \
+        / (2.0 ** 64 + 2)
+    g = np.sqrt(-2.0 * np.log(u[:n])) * np.cos(2 * np.pi * u[n:])
+    return g.reshape(nbits, dim)
+
+
+def lsh_topk(emb_ds, queries_ref, k: int, *, nbits: int = 12,
+             seed: int = 42, id_col: str = "vec_id",
+             emb_col: str = "embedding", concurrency=(1, 8)):
+    """Approximate top-k: corpus rows keep only the bucket matching
+    some query's signature, then brute-force within the survivors."""
+    import ray
+
+    q = ray.get(queries_ref)
+    qmat = _normalize(np.asarray(q["vectors"], dtype=np.float64))
+    planes = make_planes(qmat.shape[1], nbits, seed)
+    q_sigs = set(hyperplane_signs(qmat, planes).tolist())
+    q_sigs_ref = ray.put(q_sigs)
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        sigs = hyperplane_signs(
+            _normalize(_embedding_matrix(batch, emb_col)), planes)
+        qs = ray.get(q_sigs_ref)
+        mask = np.fromiter((int(s) in qs for s in sigs), dtype=bool,
+                           count=len(sigs))
+        return batch.filter(pa.array(mask))
+
+    survivors = emb_ds.map_batches(bucket_filter, batch_format="pyarrow")
+    return brute_force_topk(survivors, queries_ref, k, id_col=id_col,
+                            emb_col=emb_col, concurrency=concurrency)
+
+
+class EmbeddingDupExact:
+    """Exact near-dup pairs: the full (normalized) corpus matrix is
+    broadcast once per actor; each batch emits its pairs against the
+    whole corpus with a<b on vec_id.  Exact — and O(n²) work overall —
+    so this is the small-corpus / verification plan; the LSH-bucketed
+    variant below is the scale path."""
+
+    def __init__(self, corpus_ref, threshold: float):
+        import ray
+        c = ray.get(corpus_ref)
+        self.ids = np.asarray(c["ids"], dtype=np.int64)
+        self.mat = _normalize(np.asarray(c["vectors"], dtype=np.float64))
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mat = _normalize(_embedding_matrix(batch, "embedding"))
+        sims = mat @ self.mat.T                      # (nb, N)
+        bi, cj = np.nonzero(sims >= self.threshold)
+        a = ids[bi]
+        b = self.ids[cj]
+        keep = a < b
+        return pa.Table.from_arrays(
+            [pa.array(a[keep], type=pa.int64()),
+             pa.array(b[keep], type=pa.int64()),
+             pa.array(sims[bi, cj][keep], type=pa.float64())],
+            names=["a", "b", "cosine"])
+
+
+def embedding_dup_pairs_exact(emb_ds, corpus_ref, *,
+                              threshold: float = 0.9,
+                              concurrency=(1, 8)):
+    return emb_ds.map_batches(
+        EmbeddingDupExact, fn_constructor_args=(corpus_ref, threshold),
+        batch_format="pyarrow", batch_size=2048,
+        concurrency=concurrency, num_cpus=1)
+
+
+def embedding_dup_pairs(emb_ds, *, threshold: float = 0.98,
+                        nbits: int = 10, seed: int = 42,
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding",
+                        bucket_cap: int = 4096):
+    """Near-duplicate pairs by embedding cosine: hyperplane-sign bucket
+    → pairs within bucket → exact cosine verify.  Approximate recall
+    (pairs split across buckets are missed) — raise nbits for precision
+    buckets, lower for recall; tests measure against brute force."""
+    planes_holder: dict = {}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_embedding_matrix(batch, emb_col))
+        if "p" not in planes_holder:
+            planes_holder["p"] = make_planes(mat.shape[1], nbits, seed)
+        sigs = hyperplane_signs(mat, planes_holder["p"])
+        return pa.Table.from_arrays(
+            [pa.array(sigs, type=pa.uint64()),
+             batch.column(id_col),
+             batch.column(emb_col)],
+            names=["bucket_key", "vec_id", "embedding"])
+
+    keyed = emb_ds.map_batches(explode, batch_format="pyarrow")
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("cosine", pa.float64())])
+
+    def emit(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy()
+        a, b = pairs_within(ids, bucket_cap)
+        if len(a) == 0:
+            return out_schema.empty_table()
+        mat = _normalize(_embedding_matrix(group, "embedding"))
+        row_of = {int(v): i for i, v in enumerate(ids)}
+        ia = np.fromiter((row_of[int(x)] for x in a), dtype=np.int64)
+        ib = np.fromiter((row_of[int(x)] for x in b), dtype=np.int64)
+        cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+        keep = cos >= threshold
+        return pa.Table.from_arrays(
+            [pa.array(a[keep]), pa.array(b[keep]),
+             pa.array(cos[keep], type=pa.float64())],
+            schema=out_schema)
+
+    return keyed.groupby("bucket_key").map_groups(emit,
+                                                  batch_format="pyarrow")

@@ -1,0 +1,176 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, fingerprinting.
+
+All vectorized `map_batches` transforms over Arrow batches.  Where an
+operator is meant to be SQL-verifiable (driver oracle), the defining
+regex / word list lives HERE as the single source of truth and the
+matching DuckDB SQL fragment is generated next to it — the Python and
+SQL sides can then never drift apart.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ------------------------------------------------------------------
+# shared definitions (Python regex ≡ RE2 ≡ DuckDB regex — keep RE2-safe:
+# no lookaround, no backrefs)
+WORD_RE = r"\S+"
+DIGIT_RE = "[0-9]"
+UPPER_RE = "[A-Z]"
+PUNCT_RE = "[.,;:!?]"
+# GPT-2-flavoured sub-word pattern, modified to be RE2-compatible
+# (original has a negative lookahead): contractions, letter runs,
+# digit runs, symbol runs.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+# tiny fixed stopword probe list for the quality score (deliberately
+# small so the SQL oracle can inline it; the full NLTK list drives the
+# canonicalization filter instead)
+QUALITY_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is",
+                     "for", "on", "with", "as", "by")
+
+
+def doc_stats(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Per-document stats: token/char counts, ratios, quality score.
+
+    Column-for-column reproducible by `doc_stats_sql()`."""
+    text = batch.column(text_col)
+    n_chars = pc.utf8_length(text)
+    n_tokens = pc.count_substring_regex(text, WORD_RE)
+    n_digits = pc.count_substring_regex(text, DIGIT_RE)
+    n_upper = pc.count_substring_regex(text, UPPER_RE)
+    n_punct = pc.count_substring_regex(text, PUNCT_RE)
+    n_bpe = pc.count_substring_regex(text, BPE_RE)
+
+    nt = n_tokens.to_numpy().astype(np.float64)
+    nc = n_chars.to_numpy().astype(np.float64)
+    safe_nt = np.maximum(nt, 1.0)
+    safe_nc = np.maximum(nc, 1.0)
+
+    # whitespace-stripped char count for avg word length
+    stripped = pc.utf8_length(
+        pc.replace_substring_regex(text, pattern=r"\s", replacement=""))
+    avg_word_len = stripped.to_numpy().astype(np.float64) / safe_nt
+
+    # stopword hits from the small probe list (lowercased whole words)
+    low = pc.utf8_lower(text)
+    sw_pat = r"\b(?:" + "|".join(QUALITY_STOPWORDS) + r")\b"
+    n_stop = pc.count_substring_regex(low, sw_pat)
+    stop_ratio = n_stop.to_numpy().astype(np.float64) / safe_nt
+
+    digit_ratio = n_digits.to_numpy().astype(np.float64) / safe_nc
+    punct_ratio = n_punct.to_numpy().astype(np.float64) / safe_nc
+
+    # quality score: bounded, monotone in "looks like prose"
+    quality = (
+        np.minimum(nt / 64.0, 1.0) * 0.4
+        + np.minimum(stop_ratio * 4.0, 1.0) * 0.3
+        + (1.0 - np.minimum(digit_ratio * 10.0, 1.0)) * 0.2
+        + (1.0 - np.minimum(punct_ratio * 10.0, 1.0)) * 0.1)
+
+    out = batch
+    for name, arr in [
+        ("n_chars", n_chars.cast(pa.int64())),
+        ("n_tokens", n_tokens.cast(pa.int64())),
+        ("n_bpe_tokens", n_bpe.cast(pa.int64())),
+        ("avg_word_len", pa.array(avg_word_len)),
+        ("digit_ratio", pa.array(digit_ratio)),
+        ("punct_ratio", pa.array(punct_ratio)),
+        ("stop_ratio", pa.array(stop_ratio)),
+        ("quality", pa.array(quality)),
+    ]:
+        out = out.append_column(name, arr)
+    return out
+
+
+def doc_stats_sql(text_expr: str = "text") -> dict[str, str]:
+    """DuckDB expressions mirroring doc_stats, keyed by output column."""
+    t = text_expr
+    nt = f"greatest(len(regexp_extract_all({t}, '{WORD_RE}')), 1)"
+    nc = f"greatest(length({t}), 1)"
+    sw = "|".join(QUALITY_STOPWORDS)
+    n_stop = (f"len(regexp_extract_all(lower({t}), "
+              f"'\\b(?:{sw})\\b'))")
+    digit_ratio = f"(len(regexp_extract_all({t}, '{DIGIT_RE}'))::DOUBLE / {nc})"
+    punct_ratio = f"(len(regexp_extract_all({t}, '{PUNCT_RE}'))::DOUBLE / {nc})"
+    stop_ratio = f"({n_stop}::DOUBLE / {nt})"
+    ntokens_f = f"len(regexp_extract_all({t}, '{WORD_RE}'))::DOUBLE"
+    return {
+        "n_chars": f"length({t})",
+        "n_tokens": f"len(regexp_extract_all({t}, '{WORD_RE}'))",
+        "n_bpe_tokens": f"len(regexp_extract_all({t}, $bpe${BPE_RE}$bpe$))",
+        "avg_word_len": (f"(length(regexp_replace({t}, '\\s', '', 'g'))"
+                         f"::DOUBLE / {nt})"),
+        "digit_ratio": digit_ratio,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "quality": (
+            f"(least({ntokens_f} / 64.0, 1.0) * 0.4"
+            f" + least({stop_ratio} * 4.0, 1.0) * 0.3"
+            f" + (1.0 - least({digit_ratio} * 10.0, 1.0)) * 0.2"
+            f" + (1.0 - least({punct_ratio} * 10.0, 1.0)) * 0.1)"),
+    }
+
+
+# ------------------------------------------------------------------
+# language identification (heuristic — no SQL oracle; rows-only check)
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "it", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour"),
+    "es": ("el", "la", "los", "las", "es", "una", "que", "por"),
+}
+
+
+class LangIdActor:
+    """Marker-word voting + CJK charset check; compiled once per actor."""
+
+    def __init__(self):
+        import regex
+
+        self.word_re = regex.compile(r"\S+")
+        self.cjk_re = regex.compile(r"[\p{Han}\p{Hiragana}\p{Katakana}]")
+        self.markers = {lang: frozenset(ws)
+                        for lang, ws in _LANG_MARKERS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for text in batch.column("text").to_pylist():
+            text = text or ""
+            if self.cjk_re.search(text):
+                preds.append("zh")
+                continue
+            words = self.word_re.findall(text.lower())
+            votes = {lang: sum(w in ms for w in words)
+                     for lang, ms in self.markers.items()}
+            best = max(votes, key=lambda k: (votes[k], k))
+            preds.append(best if votes[best] > 0 else "und")
+        return batch.append_column("lang_pred",
+                                   pa.array(preds, type=pa.string()))
+
+
+# ------------------------------------------------------------------
+# fingerprinting
+
+def fingerprint(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Content fingerprints: md5 hex (SQL-reproducible) + a 64-bit
+    rolling hash over the raw bytes (vectorized polynomial hash)."""
+    import hashlib
+
+    from nxsearch_ray.functions.hashing import sequence_hashes
+
+    texts = batch.column(text_col).to_pylist()
+    md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+    enc = [(t or "").encode() for t in texts]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64,
+                       count=len(enc))
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    offsets = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    roll = sequence_hashes(flat, offsets)
+    out = batch.append_column("md5", pa.array(md5s, type=pa.string()))
+    return out.append_column("rolling64", pa.array(roll, type=pa.uint64()))
