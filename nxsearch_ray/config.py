@@ -37,8 +37,10 @@ class PipelineConfig:
 
     # --- thresholds ---
     jaccard_threshold: float = 0.5       # MinHash-estimated Jaccard for a verified pair
+    jaccard_borderline: float = 0.35     # est_j in [borderline, threshold) → exact-Jaccard adjudication
     containment_threshold: float = 0.8   # containment estimate for the suffix pass
-    anchor_mod: int = 4                  # shingle sampled as anchor when h % anchor_mod == 0
+    anchor_mod: int = 2                  # shingle sampled as anchor when h % anchor_mod == 0
+    anchor_full_max: int = 32            # docs with ≤ this many shingles emit ALL shingles as anchors
 
     # --- skew handling ---
     hot_bucket_cap: int = 4096           # groups larger than this are salted into sub-buckets

@@ -1,0 +1,125 @@
+"""Pure-python oracle for the dedup pipeline (≤ ~10k docs).
+
+Implements EXACTLY the same semantics as the distributed pipeline —
+same hashes, same candidate passes, same skew policy, same decision
+rules, same clustering — with plain dicts and loops.  Used by tests to
+pin the distributed implementation (SURVEY.md §5 item 3: "pipeline
+output must match oracle clusters exactly at same config").
+"""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+
+from nxsearch_ray.config import PipelineConfig
+from nxsearch_ray.functions import hashing as H
+from nxsearch_ray.functions.suffix import lcs_tokens
+from nxsearch_ray.stages.canonicalize import CanonicalizeActor
+from nxsearch_ray.stages.pairs import pairs_within
+from nxsearch_ray.stages.signatures import SignatureActor, list_column_numpy
+from nxsearch_ray.state.unionfind import UnionFind
+
+
+def oracle_clusters(pages: pa.Table, cfg: PipelineConfig
+                    ) -> tuple[dict[int, int], set[tuple[int, int]]]:
+    """(page_id → cluster_id, verified pair set) for a pages table
+    (must already have `text`; html not needed)."""
+    canon = CanonicalizeActor(cfg)(pages if "html" not in
+                                   pages.column_names
+                                   else pages.drop_columns(["html"]))
+    sigs = SignatureActor(cfg)(canon)
+
+    pids = sigs.column("page_id").to_numpy()
+    n = len(pids)
+    mh_flat, _ = list_column_numpy(sigs.column("minhash"))
+    mh = mh_flat.reshape(n, cfg.num_perms)
+    sim = sigs.column("simhash").to_numpy().astype(np.uint64)
+    bk_flat, bk_off = list_column_numpy(sigs.column("bottomk"))
+    an_flat, an_off = list_column_numpy(sigs.column("anchors"))
+    seqh = sigs.column("seq_hash").to_numpy().astype(np.uint64)
+    tok_flat, tok_off = list_column_numpy(canon.column("token_ids"))
+    row = {int(p): i for i, p in enumerate(pids)}
+
+    buckets: dict[str, dict[int, list[int]]] = {
+        "exact": collections.defaultdict(list),
+        "minhash": collections.defaultdict(list),
+        "simhash": collections.defaultdict(list),
+        "suffix": collections.defaultdict(list),
+    }
+    for i, p in enumerate(pids):
+        buckets["exact"][int(seqh[i])].append(int(p))
+
+    bk = H.band_keys(mh, cfg.lsh_bands, cfg.lsh_rows, cfg.seed)
+    for b in range(cfg.lsh_bands):
+        for i, p in enumerate(pids):
+            buckets["minhash"][int(bk[i, b])].append(int(p))
+
+    nchunks = cfg.simhash_hamming + 1
+    width = cfg.simhash_bits // nchunks
+    mask = np.uint64((1 << width) - 1)
+    for c in range(nchunks):
+        chunk = (sim >> np.uint64(c * width)) & mask
+        keys = H.splitmix64(chunk ^ H.splitmix64(
+            np.array(c + 0x5151, dtype=np.uint64)))
+        for i, p in enumerate(pids):
+            buckets["simhash"][int(keys[i])].append(int(p))
+
+    for i, p in enumerate(pids):
+        for a in an_flat[an_off[i]:an_off[i + 1]]:
+            buckets["suffix"][int(a)].append(int(p))
+
+    pair_sources: dict[tuple[int, int], set[str]] = \
+        collections.defaultdict(set)
+    for source, bs in buckets.items():
+        for members in bs.values():
+            a_arr, b_arr = pairs_within(
+                np.asarray(members, dtype=np.int64), cfg.hot_bucket_cap)
+            for a, b in zip(a_arr.tolist(), b_arr.tolist()):
+                pair_sources[(a, b)].add(source)
+
+    from nxsearch_ray.stages.suffix import exact_shingle_jaccard
+
+    verified: set[tuple[int, int]] = set()
+    for (a, b), srcs in pair_sources.items():
+        ia, ib = row[a], row[b]
+        est_j = float((mh[ia] == mh[ib]).mean())
+        ham = int(H.hamming64(sim[ia:ia + 1], sim[ib:ib + 1])[0])
+        keep = ("exact" in srcs) or est_j >= cfg.jaccard_threshold \
+            or ham <= cfg.simhash_hamming
+        if not keep:
+            # borderline screen → exact adjudication (same rules as
+            # stages/verify.apply_rules + stages/suffix)
+            sa = bk_flat[bk_off[ia]:bk_off[ia + 1]]
+            sb = bk_flat[bk_off[ib]:bk_off[ib + 1]]
+            con_bk = 0.0
+            if len(sa) and len(sb):
+                merged = np.union1d(sa, sb)[:cfg.bottomk]
+                hi = merged[-1]
+                both = np.intersect1d(sa, sb, assume_unique=True)
+                nboth = int(np.searchsorted(both, hi, side="right")) \
+                    if len(both) else 0
+                n_small = min(
+                    int(np.searchsorted(sa, hi, side="right")),
+                    int(np.searchsorted(sb, hi, side="right")))
+                con_bk = nboth / n_small if n_small else 0.0
+            screened = con_bk >= 0.5 * cfg.containment_threshold or \
+                (cfg.jaccard_borderline <= est_j < cfg.jaccard_threshold)
+            if screened:
+                ta = tok_flat[tok_off[ia]:tok_off[ia + 1]]
+                tb = tok_flat[tok_off[ib]:tok_off[ib + 1]]
+                m = min(len(ta), len(tb))
+                if m:
+                    con = lcs_tokens(ta.tolist(), tb.tolist()) / m
+                    jac = exact_shingle_jaccard(ta, tb, cfg.shingle_k)
+                    keep = con >= cfg.containment_threshold or \
+                        jac >= cfg.jaccard_threshold
+        if keep:
+            verified.add((a, b))
+
+    uf = UnionFind()
+    for a, b in verified:
+        uf.union(a, b)
+    return uf.labels_min(), verified

@@ -140,7 +140,7 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
         def split_exact(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
             m = pc.and_(pc.invert(t.column("keep_minsim")),
-                        t.column("keep_suffix_screen"))
+                        t.column("keep_exact_screen"))
             return t.filter(m).select(["a", "b", "source"])
 
         need_exact = scored.map_batches(split_exact,

@@ -69,15 +69,16 @@ class SignatureActor:
         sim = H.simhash_signatures(uflat, uoff, cfg.simhash_bits)
         bk_flat, bk_off = H.bottomk_sketch(uflat, uoff, cfg.bottomk)
 
-        # anchor sample for the containment/suffix pass; tiny docs
-        # (≤ 2·anchor_mod shingles) emit ALL shingles so a short page
-        # contained in a long one still shares ≥1 bucket whenever any
-        # of its shingles is mod-sampled by the long side
+        # anchor sample for the containment/suffix pass; small docs
+        # (≤ anchor_full_max shingles) emit ALL shingles so a short
+        # page contained in a long one shares a bucket whenever any of
+        # its shingles is mod-sampled by the long side (miss prob for
+        # a B-shingle contained doc: (1-1/anchor_mod)^B)
         ndocs = len(uoff) - 1
         seg = uoff[1:] - uoff[:-1]
         doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), seg)
         amask = (uflat % np.uint64(cfg.anchor_mod)) == 0
-        amask |= np.repeat(seg <= 2 * cfg.anchor_mod, seg)
+        amask |= np.repeat(seg <= cfg.anchor_full_max, seg)
         a_vals = uflat[amask]
         a_docs = doc_idx[amask]
         a_counts = np.bincount(a_docs, minlength=ndocs)

@@ -24,7 +24,8 @@ from nxsearch_ray.stages.signatures import list_column_numpy
 
 SUFFIX_PAIR_SCHEMA = pa.schema([
     ("a", pa.int64()), ("b", pa.int64()), ("source", pa.string()),
-    ("lcs_len", pa.int32()), ("containment", pa.float64())])
+    ("lcs_len", pa.int32()), ("containment", pa.float64()),
+    ("exact_jaccard", pa.float64())])
 
 
 @dataclass
@@ -57,14 +58,35 @@ def collect_token_index(canonical_ds) -> TokenIndex:
     return TokenIndex.from_table(t)
 
 
+def exact_shingle_jaccard(ta: np.ndarray, tb: np.ndarray,
+                          k: int) -> float:
+    """Exact Jaccard of the two docs' k-shingle sets (recomputed from
+    token ids — identical shingle hashing to the signature stage)."""
+    from nxsearch_ray.functions import hashing as H
+
+    off = np.array([0, len(ta)], dtype=np.int64)
+    sha, _ = H.shingle_hashes(ta, off, k)
+    offb = np.array([0, len(tb)], dtype=np.int64)
+    shb, _ = H.shingle_hashes(tb, offb, k)
+    sa = np.unique(sha)
+    sb = np.unique(shb)
+    if len(sa) == 0 or len(sb) == 0:
+        return 0.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / (len(sa) + len(sb) - inter)
+
+
 def exact_containment_table(pairs: pa.Table, idx: TokenIndex,
                             cfg: PipelineConfig) -> pa.Table:
-    """Per-pair suffix-automaton verification (shared with the oracle).
-    Keeps pairs whose exact containment ≥ containment_threshold."""
+    """Per-pair exact adjudication (shared with the oracle): keeps a
+    pair when its exact suffix-automaton containment ≥
+    containment_threshold OR its exact shingle Jaccard ≥
+    jaccard_threshold (the borderline-est_j rescue)."""
     a = pairs.column("a").to_numpy()
     b = pairs.column("b").to_numpy()
     lcs = np.zeros(len(a), dtype=np.int32)
     con = np.zeros(len(a), dtype=np.float64)
+    jac = np.zeros(len(a), dtype=np.float64)
     for i in range(len(a)):
         ta = idx.tokens_for(int(a[i]))
         tb = idx.tokens_for(int(b[i]))
@@ -73,11 +95,15 @@ def exact_containment_table(pairs: pa.Table, idx: TokenIndex,
             continue
         lcs[i] = lcs_tokens(ta.tolist(), tb.tolist())
         con[i] = lcs[i] / m
-    keep = con >= cfg.containment_threshold
+        jac[i] = exact_shingle_jaccard(ta, tb, cfg.shingle_k)
+    keep = (con >= cfg.containment_threshold) | \
+        (jac >= cfg.jaccard_threshold)
+    src = (pairs.column("source").cast(pa.string())
+           if "source" in pairs.column_names
+           else pa.array(["suffix"] * len(a), type=pa.string()))
     out = pa.Table.from_arrays(
-        [pairs.column("a"), pairs.column("b"),
-         pa.array(["suffix"] * len(a), type=pa.string()),
-         pa.array(lcs), pa.array(con)],
+        [pairs.column("a"), pairs.column("b"), src,
+         pa.array(lcs), pa.array(con), pa.array(jac)],
         schema=SUFFIX_PAIR_SCHEMA)
     return out.filter(pa.array(keep))
 

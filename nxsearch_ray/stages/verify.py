@@ -13,18 +13,12 @@ signatures.  Two physical plans, one semantic:
     (pairs⋈sig on `a`, then on `b`) via stages/join.py.
 
 A candidate pair carries the *set* of sources that proposed it
-(comma-joined, sorted — see stages/pairs.union_pair_sources).  Decision
-rules (config thresholds), pair survives if ANY applies:
-
-  'minhash' ∈ sources → est_jaccard ≥ jaccard_threshold
-  'simhash' ∈ sources → hamming ≤ simhash_hamming
-  'suffix'  ∈ sources → bottom-k containment ≥ ½·containment_threshold
-                        (loose screen; survivors that no other rule
-                        kept get *exact* suffix-automaton verification
-                        downstream, stages/suffix.py)
-
-``keep_minsim`` marks pairs confirmed by minhash/simhash alone (no
-exact pass needed); ``keep_suffix_screen`` marks screen survivors.
+(comma-joined, sorted — see stages/pairs.union_pair_sources); the
+decision rules themselves apply to every candidate regardless of
+source (see ``apply_rules``).  ``keep_minsim`` marks pairs confirmed
+outright; ``keep_exact_screen`` marks borderline pairs routed to exact
+adjudication (stages/suffix.py: suffix-automaton containment + exact
+shingle Jaccard).
 """
 
 from __future__ import annotations
@@ -44,7 +38,7 @@ SCORED_SCHEMA = pa.schema([
     ("a", pa.int64()), ("b", pa.int64()), ("source", pa.string()),
     ("est_jaccard", pa.float64()), ("hamming", pa.int32()),
     ("jaccard_bk", pa.float64()), ("containment_bk", pa.float64()),
-    ("keep_minsim", pa.bool_()), ("keep_suffix_screen", pa.bool_())])
+    ("keep_minsim", pa.bool_()), ("keep_exact_screen", pa.bool_())])
 
 
 @dataclass
@@ -111,8 +105,12 @@ def bottomk_pair_scores(flat: np.ndarray, offsets: np.ndarray,
         hi = merged[-1]
         both = np.intersect1d(sa, sb, assume_unique=True)
         nboth = int(np.searchsorted(both, hi, side="right"))
-        small = sa if len(sa) <= len(sb) else sb
-        n_small = int(np.searchsorted(small, hi, side="right"))
+        # containment of the less-sampled-in-window side: divide by
+        # min(|SA ≤ hi|, |SB ≤ hi|) — using list lengths instead is
+        # wrong when one doc's values dominate the low window
+        n_a = int(np.searchsorted(sa, hi, side="right"))
+        n_b = int(np.searchsorted(sb, hi, side="right"))
+        n_small = min(n_a, n_b)
         jac[i] = nboth / len(merged)
         con[i] = nboth / n_small if n_small else 0.0
     return jac, con
@@ -121,15 +119,26 @@ def bottomk_pair_scores(flat: np.ndarray, offsets: np.ndarray,
 def apply_rules(sources: list[str], est_j: np.ndarray, ham: np.ndarray,
                 con_bk: np.ndarray, cfg: PipelineConfig
                 ) -> tuple[np.ndarray, np.ndarray]:
-    """(keep_minsim, keep_suffix_screen) — the single decision function
-    shared by broadcast stage, bucketed stage and the python oracle."""
-    has = {name: np.array([name in s.split(",") for s in sources])
-           for name in ("exact", "minhash", "simhash", "suffix")}
-    keep_minsim = has["exact"] | \
-        (has["minhash"] & (est_j >= cfg.jaccard_threshold)) | \
-        (has["simhash"] & (ham <= cfg.simhash_hamming))
-    keep_screen = has["suffix"] & \
-        (con_bk >= 0.5 * cfg.containment_threshold)
+    """(keep_minsim, keep_exact_screen) — the single decision function
+    shared by broadcast stage, bucketed stage and the python oracle.
+
+    Decision rules apply to EVERY candidate regardless of which pass
+    proposed it (sources only govern candidate *generation*):
+
+      keep_minsim      — confirmed outright: exact sequence match, or
+                         est_jaccard ≥ threshold, or SimHash Hamming
+                         within the pigeonhole bound.
+      keep_exact_screen — borderline: bottom-k containment above the
+                         loose screen, or est_jaccard in the
+                         [borderline, threshold) noise window.  These
+                         go to exact adjudication (suffix-automaton
+                         containment + exact shingle Jaccard)."""
+    has_exact = np.array(["exact" in s.split(",") for s in sources])
+    keep_minsim = has_exact | (est_j >= cfg.jaccard_threshold) | \
+        (ham <= cfg.simhash_hamming)
+    keep_screen = (con_bk >= 0.5 * cfg.containment_threshold) | \
+        ((est_j >= cfg.jaccard_borderline)
+         & (est_j < cfg.jaccard_threshold))
     return keep_minsim, keep_screen
 
 
