@@ -41,10 +41,17 @@ class PipelineConfig:
     containment_threshold: float = 0.8   # containment estimate for the suffix pass
     anchor_mod: int = 2                  # shingle sampled as anchor when h % anchor_mod == 0
     anchor_full_max: int = 32            # docs with ≤ this many shingles emit ALL shingles as anchors
+    # anchor buckets with more members than this emit NO pairs: a
+    # shingle shared by many docs is a "stop-shingle" (boilerplate /
+    # common phrase) carrying no containment signal, and all-pairs on
+    # such buckets is where candidate volume explodes
+    anchor_bucket_max: int = 16
 
     # --- skew handling ---
-    hot_bucket_cap: int = 4096           # groups larger than this are salted into sub-buckets
-    salt_buckets: int = 64
+    # buckets with ≤ cap members emit all C(n,2) pairs; bigger buckets
+    # (boilerplate) emit a connectivity-preserving sorted chain (n-1
+    # pairs) — O(n²) blowup on hot keys is the classic LSH skew trap
+    hot_bucket_cap: int = 64
 
     # --- execution ---
     batch_size: int = 1024               # rows per map_batches call

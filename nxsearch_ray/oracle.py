@@ -74,9 +74,11 @@ def oracle_clusters(pages: pa.Table, cfg: PipelineConfig
     pair_sources: dict[tuple[int, int], set[str]] = \
         collections.defaultdict(set)
     for source, bs in buckets.items():
+        skip = cfg.anchor_bucket_max if source == "suffix" else None
         for members in bs.values():
             a_arr, b_arr = pairs_within(
-                np.asarray(members, dtype=np.int64), cfg.hot_bucket_cap)
+                np.asarray(members, dtype=np.int64), cfg.hot_bucket_cap,
+                skip)
             for a, b in zip(a_arr.tolist(), b_arr.tolist()):
                 pair_sources[(a, b)].add(source)
 

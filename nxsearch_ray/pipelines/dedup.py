@@ -36,11 +36,7 @@ from nxsearch_ray.stages.canonicalize import canonicalize_stage
 from nxsearch_ray.stages.cc import cc_driver_unionfind, cc_label_propagation
 from nxsearch_ray.stages.html_extract import extract_stage
 from nxsearch_ray.stages.pairs import (
-    candidate_pairs,
-    explode_anchors,
-    explode_minhash_bands,
-    explode_seq_hash,
-    explode_simhash_chunks,
+    multi_candidate_pairs,
     union_pair_sources,
 )
 from nxsearch_ray.stages.signatures import signature_stage
@@ -96,28 +92,8 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
         lambda: signature_stage(canonical, cfg),
         out_dir, "signatures", cfg, stats)
 
-    cfg_json = cfg.to_json()
-    sources = [
-        candidate_pairs(
-            signatures.map_batches(explode_seq_hash,
-                                   batch_format="pyarrow"),
-            cfg, "exact"),
-        candidate_pairs(
-            signatures.map_batches(explode_minhash_bands(cfg_json),
-                                   batch_format="pyarrow"),
-            cfg, "minhash"),
-        candidate_pairs(
-            signatures.map_batches(explode_simhash_chunks(cfg_json),
-                                   batch_format="pyarrow"),
-            cfg, "simhash"),
-    ]
-    if enable_suffix_pass:
-        sources.append(candidate_pairs(
-            signatures.map_batches(explode_anchors,
-                                   batch_format="pyarrow"),
-            cfg, "suffix"))
-
-    candidates = union_pair_sources(*sources)
+    candidates = union_pair_sources(
+        multi_candidate_pairs(signatures, cfg))
 
     if verify_mode == "broadcast":
         sig_idx_ref = ray.put(collect_signature_index(signatures, cfg))

@@ -28,14 +28,18 @@ from nxsearch_ray.stages.signatures import list_column_numpy
 _U64 = np.uint64
 
 
-def pairs_within(ids: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+def pairs_within(ids: np.ndarray, cap: int,
+                 skip_over: int | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
     """Canonical (a<b) pairs for one bucket under the skew policy.
 
     ids are deduped+sorted first so the result is independent of row
-    order (determinism under retries/parallelism, SURVEY.md §7)."""
+    order (determinism under retries/parallelism, SURVEY.md §7).
+    ``skip_over``: buckets larger than this emit NOTHING (stop-shingle
+    pruning for the anchor pass); None disables."""
     ids = np.unique(np.asarray(ids, dtype=np.int64))
     n = len(ids)
-    if n < 2:
+    if n < 2 or (skip_over is not None and n > skip_over):
         return (np.empty(0, np.int64), np.empty(0, np.int64))
     if n <= cap:
         iu = np.triu_indices(n, k=1)
@@ -114,43 +118,329 @@ def explode_anchors(batch: pa.Table) -> pa.Table:
         names=["bucket_key", "page_id"])
 
 
+SRC_NAMES = ("exact", "minhash", "simhash", "suffix")
+
+
+def explode_all(cfg_json: str):
+    """ONE explode for all four candidate passes: signatures →
+    (bucket_key, page_id, src: int8) rows.  Emitting every pass from a
+    single map_batches lets the whole candidate generation ride ONE
+    sort instead of four — the dominant shuffle of the pipeline.
+    Band/chunk keys are salted by band/chunk index; seq/anchor keys are
+    salted by a source constant so buckets never mix across passes."""
+    cfg = PipelineConfig.from_json(cfg_json)
+    nchunks = cfg.simhash_hamming + 1
+    width = cfg.simhash_bits // nchunks
+
+    def fn(batch: pa.Table) -> pa.Table:
+        page = batch.column("page_id").to_numpy()
+        ndocs = batch.num_rows
+        keys_out: list[np.ndarray] = []
+        page_out: list[np.ndarray] = []
+        src_out: list[np.ndarray] = []
+
+        def add(keys, pages, code):
+            keys_out.append(keys)
+            page_out.append(pages)
+            src_out.append(np.full(len(keys), code, dtype=np.int8))
+
+        # exact (src 0): seq_hash, salted
+        seqh = batch.column("seq_hash").to_numpy().astype(_U64)
+        add(H.splitmix64(seqh ^ _U64(0xE0)), page, 0)
+
+        # minhash bands (src 1)
+        sig_flat, _ = list_column_numpy(batch.column("minhash"))
+        sig = sig_flat.reshape(ndocs, cfg.num_perms)
+        bkeys = H.band_keys(sig, cfg.lsh_bands, cfg.lsh_rows, cfg.seed)
+        add(bkeys.reshape(-1), np.repeat(page, cfg.lsh_bands), 1)
+
+        # simhash chunks (src 2)
+        sim = batch.column("simhash").to_numpy().astype(_U64)
+        ckeys = np.empty((ndocs, nchunks), dtype=_U64)
+        mask = _U64((1 << width) - 1)
+        for c in range(nchunks):
+            chunk = (sim >> _U64(c * width)) & mask
+            ckeys[:, c] = H.splitmix64(chunk ^ H.splitmix64(
+                np.array(c + 0x5151, dtype=_U64)))
+        add(ckeys.reshape(-1), np.repeat(page, nchunks), 2)
+
+        # anchors (src 3)
+        a_flat, a_off = list_column_numpy(batch.column("anchors"))
+        counts = a_off[1:] - a_off[:-1]
+        add(H.splitmix64(a_flat ^ _U64(0xA3)),
+            np.repeat(page, counts), 3)
+
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(keys_out), type=pa.uint64()),
+             pa.array(np.concatenate(page_out), type=pa.int64()),
+             pa.array(np.concatenate(src_out), type=pa.int8())],
+            names=["bucket_key", "page_id", "src"])
+
+    return fn
+
+
+def multi_candidate_pairs(signatures_ds, cfg: PipelineConfig):
+    """All candidate passes in one shuffle: explode_all → sort →
+    vectorized run scan (same plan as candidate_pairs, with per-source
+    skip policy).  Returns (a, b, source-name) pairs."""
+    keyed = signatures_ds.map_batches(explode_all(cfg.to_json()),
+                                      batch_format="pyarrow")
+    cap = cfg.hot_bucket_cap
+    skip_by_src = {3: cfg.anchor_bucket_max}
+    out_schema = pa.schema([
+        ("a", pa.int64()), ("b", pa.int64()), ("source", pa.string()),
+        ("pending_key", pa.uint64()), ("pending_id", pa.int64()),
+        ("pending_src", pa.int8())])
+
+    def block_fn(t: pa.Table) -> pa.Table:
+        keys = t.column("bucket_key").to_numpy()
+        ids = t.column("page_id").to_numpy()
+        srcs = t.column("src").to_numpy()
+        n = len(keys)
+        a_out, b_out, s_out = [], [], []
+        pend_mask = np.zeros(n, dtype=bool)
+        if n:
+            change = np.nonzero((keys[1:] != keys[:-1])
+                                | (srcs[1:] != srcs[:-1]))[0] + 1
+            starts = np.concatenate(([0], change))
+            counts = np.diff(np.concatenate((starts, [n])))
+            pend_mask[:counts[0]] = True
+            pend_mask[starts[-1]:] = True
+            multi = np.nonzero(counts >= 2)[0]
+            for r in multi:
+                if r == 0 or r == len(starts) - 1:
+                    continue
+                s, c = starts[r], counts[r]
+                code = int(srcs[s])
+                a, b = pairs_within(ids[s:s + c], cap,
+                                    skip_by_src.get(code))
+                a_out.append(a)
+                b_out.append(b)
+                s_out.extend([SRC_NAMES[code]] * len(a))
+        a_all = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+        b_all = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        npairs = len(a_all)
+        npend = int(pend_mask.sum())
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate([a_all, np.zeros(npend, np.int64)])),
+             pa.array(np.concatenate([b_all, np.zeros(npend, np.int64)])),
+             pa.array(s_out + [""] * npend, type=pa.string()),
+             pa.array(np.concatenate(
+                 [np.zeros(npairs, np.uint64), keys[pend_mask]]),
+                 type=pa.uint64()),
+             pa.array(np.concatenate(
+                 [np.full(npairs, -1, np.int64), ids[pend_mask]])),
+             pa.array(np.concatenate(
+                 [np.zeros(npairs, np.int8), srcs[pend_mask]]),
+                 type=pa.int8())],
+            schema=out_schema)
+
+    mixed = keyed.sort(["bucket_key", "src"]).map_batches(
+        block_fn, batch_format="pyarrow", batch_size=None).materialize()
+
+    done = mixed.map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(t.column("pending_id"), -1))
+        .select(["a", "b", "source"]),
+        batch_format="pyarrow")
+    pending = mixed.map_batches(
+        lambda t: t.filter(
+            pa.compute.not_equal(t.column("pending_id"), -1))
+        .select(["pending_key", "pending_id", "pending_src"])
+        .rename_columns(["bucket_key", "page_id", "src"]),
+        batch_format="pyarrow")
+
+    def emit(group: pa.Table) -> pa.Table:
+        code = int(group.column("src")[0].as_py())
+        a, b = pairs_within(group.column("page_id").to_numpy(), cap,
+                            skip_by_src.get(code))
+        return pa.Table.from_arrays(
+            [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64()),
+             pa.array([SRC_NAMES[code]] * len(a), type=pa.string())],
+            names=["a", "b", "source"])
+
+    fallback = pending.groupby(["bucket_key", "src"]).map_groups(
+        emit, batch_format="pyarrow")
+    return done.union(fallback)
+
+
 # ------------------------------------------------------- pairs from keys
 
-def candidate_pairs(keyed_ds, cfg: PipelineConfig, source: str):
+def _block_runs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(run_starts, run_counts) of equal-key runs in a sorted array."""
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    counts = np.diff(np.concatenate((starts, [n])))
+    return starts, counts
+
+
+def candidate_pairs(keyed_ds, cfg: PipelineConfig, source: str,
+                    skip_over: int | None = None):
     """(bucket_key, page_id) Dataset → candidate pair Dataset
-    (a, b, source) via groupby(bucket_key) shuffle.
+    (a, b, source).
+
+    Physical plan: global ``sort(bucket_key)`` (the shuffle), then a
+    vectorized per-block pass over key runs — Python only ever touches
+    runs with ≥2 members, so the millions of singleton buckets cost a
+    couple of numpy ops total instead of one `map_groups` call each.
+    Runs touching a block edge may continue in the neighboring block;
+    their rows are routed to a tiny groupby fallback (≤ 2 keys per
+    block) so no pair is missed or double-emitted.
 
     Pairs may repeat across buckets — dedup happens once, in
     ``union_pair_sources`` (one shuffle instead of one per source)."""
     cap = cfg.hot_bucket_cap
+    out_schema = pa.schema([
+        ("a", pa.int64()), ("b", pa.int64()), ("source", pa.string()),
+        ("pending_key", pa.uint64()), ("pending_id", pa.int64())])
+
+    def block_fn(t: pa.Table) -> pa.Table:
+        keys = t.column("bucket_key").to_numpy()
+        ids = t.column("page_id").to_numpy()
+        starts, counts = _block_runs(keys)
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        pend_mask = np.zeros(len(keys), dtype=bool)
+        if len(starts):
+            # first + last run may continue in neighbor blocks
+            pend_mask[:counts[0]] = True
+            pend_mask[starts[-1]:] = True
+            # python loop over MULTI-member interior runs only — the
+            # singleton majority never leaves numpy
+            multi = np.nonzero(counts >= 2)[0]
+            for r in multi:
+                if r == 0 or r == len(starts) - 1:
+                    continue
+                s, c = starts[r], counts[r]
+                a, b = pairs_within(ids[s:s + c], cap, skip_over)
+                a_out.append(a)
+                b_out.append(b)
+        a_all = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+        b_all = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        npairs = len(a_all)
+        npend = int(pend_mask.sum())
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate([a_all, np.zeros(npend, np.int64)])),
+             pa.array(np.concatenate([b_all, np.zeros(npend, np.int64)])),
+             pa.array([source] * npairs + [""] * npend,
+                      type=pa.string()),
+             pa.array(np.concatenate(
+                 [np.zeros(npairs, np.uint64), keys[pend_mask]]),
+                 type=pa.uint64()),
+             pa.array(np.concatenate(
+                 [np.full(npairs, -1, np.int64), ids[pend_mask]]))],
+            schema=out_schema)
+
+    mixed = keyed_ds.sort("bucket_key").map_batches(
+        block_fn, batch_format="pyarrow", batch_size=None)
+    mixed = mixed.materialize()
+
+    done = mixed.map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(t.column("pending_id"), -1))
+        .select(["a", "b", "source"]),
+        batch_format="pyarrow")
+
+    pending = mixed.map_batches(
+        lambda t: t.filter(
+            pa.compute.not_equal(t.column("pending_id"), -1))
+        .select(["pending_key", "pending_id"])
+        .rename_columns(["bucket_key", "page_id"]),
+        batch_format="pyarrow")
 
     def emit(group: pa.Table) -> pa.Table:
-        a, b = pairs_within(group.column("page_id").to_numpy(), cap)
+        a, b = pairs_within(group.column("page_id").to_numpy(), cap,
+                            skip_over)
         return pa.Table.from_arrays(
             [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64()),
              pa.array([source] * len(a), type=pa.string())],
             names=["a", "b", "source"])
 
-    return keyed_ds.groupby("bucket_key").map_groups(
+    fallback = pending.groupby("bucket_key").map_groups(
         emit, batch_format="pyarrow")
+    return done.union(fallback)
 
 
 def union_pair_sources(*pair_datasets):
     """minhash ∪ simhash ∪ suffix candidate pairs → one row per (a, b)
     carrying the sorted, comma-joined *set* of proposing sources
     (deterministic; verification checks each source's rule).  This is
-    the exact pair dedup — hash-partition + per-group first, the
-    distributed analogue of the reference's doc-id-exists guard
-    (reference src/core/nxs.c:505-511)."""
+    the exact pair dedup — the distributed analogue of the reference's
+    doc-id-exists guard (reference src/core/nxs.c:505-511).
+
+    Same vectorized sort+runs plan as ``candidate_pairs``: the shuffle
+    is one ``sort(a, b)``; unique pairs (the vast majority) pass
+    through in bulk, only duplicated pairs get per-run Python, and
+    block-edge runs fall back to a tiny groupby."""
     ds = pair_datasets[0]
     for other in pair_datasets[1:]:
         ds = ds.union(other)
 
+    out_schema = pa.schema([
+        ("a", pa.int64()), ("b", pa.int64()), ("source", pa.string()),
+        ("pending", pa.bool_())])
+
+    def block_fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        change = np.nonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1]))[0] + 1
+        starts = np.concatenate(([0], change))
+        counts = np.diff(np.concatenate((starts, [n])))
+        pend_mask = np.zeros(n, dtype=bool)
+        pend_mask[:counts[0]] = True
+        pend_mask[starts[-1]:] = True
+        keep_mask = np.zeros(n, dtype=bool)
+        interior = (starts > 0) & (starts + counts < n)
+        keep_mask[starts[interior & (counts == 1)]] = True
+        srcs = None
+        merged_rows: list[tuple[int, int, str]] = []
+        for r in np.nonzero(interior & (counts >= 2))[0]:
+            s, c = starts[r], counts[r]
+            if srcs is None:
+                srcs = t.column("source").to_pylist()
+            merged_rows.append((int(a[s]), int(b[s]), ",".join(
+                sorted(set(srcs[s:s + c])))))
+        out = t.filter(pa.array(keep_mask | pend_mask))
+        out_pend = pend_mask[keep_mask | pend_mask]
+        base = pa.Table.from_arrays(
+            [out.column("a"), out.column("b"), out.column("source"),
+             pa.array(out_pend)], schema=out_schema)
+        if merged_rows:
+            ma, mb, ms = zip(*merged_rows)
+            base = pa.concat_tables([base, pa.Table.from_arrays(
+                [pa.array(ma, type=pa.int64()),
+                 pa.array(mb, type=pa.int64()),
+                 pa.array(ms, type=pa.string()),
+                 pa.array([False] * len(ma))], schema=out_schema)])
+        return base
+
+    mixed = ds.sort(["a", "b"]).map_batches(
+        block_fn, batch_format="pyarrow", batch_size=None).materialize()
+
+    done = mixed.map_batches(
+        lambda t: t.filter(pa.compute.invert(t.column("pending")))
+        .select(["a", "b", "source"]),
+        batch_format="pyarrow")
+    pending = mixed.map_batches(
+        lambda t: t.filter(t.column("pending"))
+        .select(["a", "b", "source"]),
+        batch_format="pyarrow")
+
     def merge(group: pa.Table) -> pa.Table:
-        srcs = ",".join(sorted(set(group.column("source").to_pylist())))
+        srcs = ",".join(sorted(
+            {x for s in group.column("source").to_pylist()
+             for x in s.split(",")}))
         return pa.Table.from_arrays(
             [group.column("a").slice(0, 1), group.column("b").slice(0, 1),
              pa.array([srcs], type=pa.string())],
             names=["a", "b", "source"])
 
-    return ds.groupby(["a", "b"]).map_groups(merge, batch_format="pyarrow")
+    fallback = pending.groupby(["a", "b"]).map_groups(
+        merge, batch_format="pyarrow")
+    return done.union(fallback)
