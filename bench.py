@@ -1,0 +1,168 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N}
+
+Env:
+  GRAFT_SF_DIR    input tables dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS  ray.init num_cpus (default 32)
+  BENCH_SYNTH_N   synthetic corpus base size for the flagship run
+                  (default 20000 → ~26k pages)
+
+`--scaling` runs the headline pipeline in two fresh processes
+(num_cpus=8 then 32) on the same (pre-generated, page-cache-warm)
+input and reports both throughputs + scaling efficiency — the sandbox
+proxy for the N vs 4N node criterion (single node; no real cluster
+available here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SYNTH_N = int(os.environ.get("BENCH_SYNTH_N", "20000"))
+SYNTH_SEED = 1234
+
+
+def _timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return time.monotonic() - t0, out
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from nxsearch_ray.config import PipelineConfig
+    from nxsearch_ray.pipelines.dedup import clusters_as_table, run_dedup
+    from nxsearch_ray.sources.pages import pages_dataset
+    from nxsearch_ray.sources.synth import synth_parquet
+
+    cfg = PipelineConfig()
+    queries: dict[str, float] = {}
+
+    # ---- headline: full near-dup pipeline over the synthetic corpus
+    corpus = synth_parquet(SYNTH_N, seed=SYNTH_SEED, sf_dir=SF_DIR)
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    for name in os.listdir(corpus):
+        with open(os.path.join(corpus, name), "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    def flagship():
+        ds = rd.read_parquet(
+            corpus, columns=["page_id", "url", "warc_ts", "html", "lang"])
+        return clusters_as_table(run_dedup(ds, cfg))
+
+    # warm-up: Ray worker processes import numpy/pyarrow lazily on
+    # first task — a small full-pipeline pass spawns and warms the
+    # worker pool so the timed run measures steady-state throughput
+    warm = synth_parquet(5000, seed=SYNTH_SEED + 1, sf_dir=SF_DIR)
+    run_dedup(rd.read_parquet(
+        warm, columns=["page_id", "url", "warc_ts", "html", "lang"]),
+        cfg)
+
+    sec, clusters = _timed(flagship)
+    queries["dedup_synth"] = round(sec, 3)
+    n_pages = sum(1 for _ in ())  # placeholder, computed below
+    import pyarrow.parquet as pq
+
+    n_pages = sum(pq.ParquetFile(os.path.join(corpus, f)).metadata.num_rows
+                  for f in os.listdir(corpus) if f.endswith(".parquet"))
+    docs_per_sec = n_pages / sec
+
+    # ---- flagship over the sf tables' derived pages
+    def dedup_sf():
+        return clusters_as_table(run_dedup(pages_dataset(SF_DIR), cfg))
+
+    sec2, _ = _timed(dedup_sf)
+    queries["dedup_sf_pages"] = round(sec2, 3)
+
+    # ---- component benchmarks over the sf tables
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("extract_text", "exact_dedup", "doc_stats",
+                 "ngram_jaccard", "ann_topk"):
+        def runq(name=name):
+            out = qs[name](SF_DIR)
+            if hasattr(out, "materialize"):
+                out = out.materialize()
+            return out
+
+        qsec, _ = _timed(runq)
+        queries[name] = round(qsec, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "dedup pipeline wall over synthetic corpus "
+                  f"({n_pages} pages) + component ops at {SF_DIR}",
+        "value": queries["dedup_synth"],
+        "unit": "sec",
+        "queries": queries,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "n_pages": n_pages,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    """Same pipeline, two fresh ray.init sessions at 8 and 32 CPUs."""
+    # pre-generate corpus once so both runs see identical warm input
+    from nxsearch_ray.sources.synth import synth_parquet
+
+    synth_parquet(SYNTH_N, seed=SYNTH_SEED, sf_dir=SF_DIR)
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_SYNTH_N=str(SYNTH_N))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo = r_lo["queries"]["dedup_synth"]
+    t_hi = r_hi["queries"]["dedup_synth"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency dedup_synth "
+                  f"{lo}->{hi} cpus (fresh sessions, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "throughput_8": round(r_lo["n_pages"] / t_lo, 1),
+        "throughput_32": round(r_hi["n_pages"] / t_hi, 1),
+        "speedup": round(t_lo / t_hi, 2),
+        "n_pages": r_lo["n_pages"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

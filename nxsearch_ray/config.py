@@ -39,13 +39,18 @@ class PipelineConfig:
     jaccard_threshold: float = 0.5       # MinHash-estimated Jaccard for a verified pair
     jaccard_borderline: float = 0.35     # est_j in [borderline, threshold) → exact-Jaccard adjudication
     containment_threshold: float = 0.8   # containment estimate for the suffix pass
-    anchor_mod: int = 2                  # shingle sampled as anchor when h % anchor_mod == 0
+    anchor_mod: int = 4                  # shingle sampled as anchor when h % anchor_mod == 0
     anchor_full_max: int = 32            # docs with ≤ this many shingles emit ALL shingles as anchors
     # anchor buckets with more members than this emit NO pairs: a
     # shingle shared by many docs is a "stop-shingle" (boilerplate /
     # common phrase) carrying no containment signal, and all-pairs on
     # such buckets is where candidate volume explodes
-    anchor_bucket_max: int = 16
+    anchor_bucket_max: int = 4
+    # a suffix-source pair must co-occur in at least this many anchor
+    # buckets: true containment shares ~half the contained doc's
+    # shingles, junk pairs share one common shingle — single-hit
+    # filtering cuts the anchor candidate flood by ~10×
+    min_anchor_hits: int = 2
 
     # --- skew handling ---
     # buckets with ≤ cap members emit all C(n,2) pairs; bigger buckets

@@ -36,8 +36,11 @@ def oracle_clusters(pages: pa.Table, cfg: PipelineConfig
     n = len(pids)
     mh_flat, _ = list_column_numpy(sigs.column("minhash"))
     mh = mh_flat.reshape(n, cfg.num_perms)
+    res_flat, _ = list_column_numpy(sigs.column("mh_res"), dtype=np.uint8)
+    mh_res = res_flat.reshape(n, cfg.num_perms)
     sim = sigs.column("simhash").to_numpy().astype(np.uint64)
-    bk_flat, bk_off = list_column_numpy(sigs.column("bottomk"))
+    bk_flat, bk_off = list_column_numpy(sigs.column("bottomk"),
+                                        dtype=np.uint32)
     an_flat, an_off = list_column_numpy(sigs.column("anchors"))
     seqh = sigs.column("seq_hash").to_numpy().astype(np.uint64)
     tok_flat, tok_off = list_column_numpy(canon.column("token_ids"))
@@ -71,8 +74,8 @@ def oracle_clusters(pages: pa.Table, cfg: PipelineConfig
         for a in an_flat[an_off[i]:an_off[i + 1]]:
             buckets["suffix"][int(a)].append(int(p))
 
-    pair_sources: dict[tuple[int, int], set[str]] = \
-        collections.defaultdict(set)
+    pair_counts: dict[tuple[int, int], collections.Counter] = \
+        collections.defaultdict(collections.Counter)
     for source, bs in buckets.items():
         skip = cfg.anchor_bucket_max if source == "suffix" else None
         for members in bs.values():
@@ -80,33 +83,35 @@ def oracle_clusters(pages: pa.Table, cfg: PipelineConfig
                 np.asarray(members, dtype=np.int64), cfg.hot_bucket_cap,
                 skip)
             for a, b in zip(a_arr.tolist(), b_arr.tolist()):
-                pair_sources[(a, b)].add(source)
+                pair_counts[(a, b)][source] += 1
+
+    # suffix co-occurrence filter (union_pair_sources.merge_sources)
+    pair_sources: dict[tuple[int, int], set[str]] = {}
+    for key, cnt in pair_counts.items():
+        srcs = {s for s in cnt if s != "suffix"}
+        if cnt.get("suffix", 0) >= cfg.min_anchor_hits:
+            srcs.add("suffix")
+        if srcs:
+            pair_sources[key] = srcs
 
     from nxsearch_ray.stages.suffix import exact_shingle_jaccard
 
     verified: set[tuple[int, int]] = set()
     for (a, b), srcs in pair_sources.items():
         ia, ib = row[a], row[b]
-        est_j = float((mh[ia] == mh[ib]).mean())
+        est_j = float((mh_res[ia] == mh_res[ib]).mean())
         ham = int(H.hamming64(sim[ia:ia + 1], sim[ib:ib + 1])[0])
         keep = ("exact" in srcs) or est_j >= cfg.jaccard_threshold \
             or ham <= cfg.simhash_hamming
         if not keep:
             # borderline screen → exact adjudication (same rules as
             # stages/verify.apply_rules + stages/suffix)
-            sa = bk_flat[bk_off[ia]:bk_off[ia + 1]]
-            sb = bk_flat[bk_off[ib]:bk_off[ib + 1]]
-            con_bk = 0.0
-            if len(sa) and len(sb):
-                merged = np.union1d(sa, sb)[:cfg.bottomk]
-                hi = merged[-1]
-                both = np.intersect1d(sa, sb, assume_unique=True)
-                nboth = int(np.searchsorted(both, hi, side="right")) \
-                    if len(both) else 0
-                n_small = min(
-                    int(np.searchsorted(sa, hi, side="right")),
-                    int(np.searchsorted(sb, hi, side="right")))
-                con_bk = nboth / n_small if n_small else 0.0
+            from nxsearch_ray.stages.verify import bottomk_pair_scores
+
+            _, con_arr = bottomk_pair_scores(
+                bk_flat, bk_off, np.array([ia]), np.array([ib]),
+                cfg.bottomk)
+            con_bk = float(con_arr[0])
             screened = con_bk >= 0.5 * cfg.containment_threshold or \
                 (cfg.jaccard_borderline <= est_j < cfg.jaccard_threshold)
             if screened:

@@ -43,6 +43,7 @@ from nxsearch_ray.stages.signatures import signature_stage
 from nxsearch_ray.stages.suffix import (
     collect_token_index,
     suffix_verify_broadcast,
+    suffix_verify_bucketed,
 )
 from nxsearch_ray.stages.verify import (
     collect_signature_index,
@@ -59,13 +60,31 @@ class DedupResult:
     stats: dict = field(default_factory=dict)
 
 
+def pin_blocks(ds, target_blocks: int | None = None):
+    """Materialize AND sever lineage: a MaterializedDataset handle
+    keeps its upstream actor pool's minimum actors alive (reserved
+    CPUs starve later stages); re-wrapping the block refs in a fresh
+    Dataset drops the plan so the pool shuts down, while the refs keep
+    the blocks alive in the object store.
+
+    ``target_blocks`` coalesces fragmented outputs (unions of filters
+    produce hundreds of near-empty blocks whose per-task overhead then
+    dominates every downstream stage)."""
+    import ray.data as rd
+
+    if target_blocks is not None:
+        ds = ds.repartition(target_blocks)
+    mat = ds.materialize()
+    return rd.from_arrow_refs(mat.to_arrow_refs())
+
+
 def _pin(ds_factory, out_dir, stage, cfg, stats):
     """Checkpoint to parquet (resumable) or pin in the object store."""
     if out_dir is not None:
         ds, skipped = checkpoint(ds_factory, out_dir, stage, cfg)
         stats[f"{stage}_resumed"] = skipped
         return ds
-    return ds_factory().materialize()
+    return pin_blocks(ds_factory())
 
 
 def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
@@ -80,21 +99,32 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
     ``cc_mode``: 'driver' (union-find reducer over the streamed pair
     batches) or 'labelprop' (distributed min-label propagation).
     """
+    import time as _time
+
     import ray
 
     cfg = cfg or PipelineConfig()
     stats: dict = {}
+    _t = _time.monotonic
 
+    t0 = _t()
     canonical = _pin(
         lambda: canonicalize_stage(extract_stage(pages_ds), cfg),
         out_dir, "canonical", cfg, stats)
+    stats["wall_canonical"] = round(_t() - t0, 2)
+    t0 = _t()
     signatures = _pin(
         lambda: signature_stage(canonical, cfg),
         out_dir, "signatures", cfg, stats)
+    stats["wall_signatures"] = round(_t() - t0, 2)
 
-    candidates = union_pair_sources(
-        multi_candidate_pairs(signatures, cfg))
+    t0 = _t()
+    candidates = pin_blocks(union_pair_sources(
+        multi_candidate_pairs(signatures, cfg),
+        min_suffix_hits=cfg.min_anchor_hits), target_blocks=32)
+    stats["wall_candidates"] = round(_t() - t0, 2)
 
+    t0 = _t()
     if verify_mode == "broadcast":
         sig_idx_ref = ray.put(collect_signature_index(signatures, cfg))
         scored = verify_pairs_broadcast(candidates, sig_idx_ref, cfg)
@@ -102,6 +132,7 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
         scored = verify_pairs_bucketed(candidates, signatures, cfg)
     else:
         raise ValueError(f"unknown verify_mode {verify_mode!r}")
+    stats["wall_verify_setup"] = round(_t() - t0, 2)
 
     def split_direct(t: pa.Table) -> pa.Table:
         return t.filter(t.column("keep_minsim")) \
@@ -110,7 +141,9 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
     direct = scored.map_batches(split_direct, batch_format="pyarrow")
 
     if enable_suffix_pass:
-        scored = scored.materialize()
+        t0 = _t()
+        scored = pin_blocks(scored, target_blocks=32)
+        stats["wall_verify"] = round(_t() - t0, 2)
         direct = scored.map_batches(split_direct, batch_format="pyarrow")
 
         def split_exact(t: pa.Table) -> pa.Table:
@@ -121,10 +154,16 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
 
         need_exact = scored.map_batches(split_exact,
                                         batch_format="pyarrow")
-        tok_idx_ref = ray.put(collect_token_index(canonical))
-        exact = suffix_verify_broadcast(need_exact, tok_idx_ref, cfg) \
-            .select_columns(["a", "b", "source"])
-        all_pairs = direct.union(exact)
+        t0 = _t()
+        if verify_mode == "bucketed":
+            exact = suffix_verify_bucketed(need_exact, canonical, cfg)
+        else:
+            tok_idx_ref = ray.put(collect_token_index(canonical))
+            exact = suffix_verify_broadcast(need_exact, tok_idx_ref, cfg)
+        all_pairs = pin_blocks(direct.union(
+            exact.select_columns(["a", "b", "source"])),
+            target_blocks=16)
+        stats["wall_exact"] = round(_t() - t0, 2)
     else:
         all_pairs = direct
 
@@ -133,8 +172,10 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
                                         "verified_pairs", cfg)
         stats["verified_pairs_resumed"] = skipped
 
+    t0 = _t()
     if cc_mode == "driver":
         clusters = cc_driver_unionfind(all_pairs)  # pa.Table
+        stats["wall_cc"] = round(_t() - t0, 2)
         if out_dir is not None:
             import ray.data as rd
 
@@ -143,6 +184,7 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
                                      out_dir, "clusters", cfg)
     elif cc_mode == "labelprop":
         clusters = cc_label_propagation(all_pairs)
+        stats["wall_cc"] = round(_t() - t0, 2)
         if out_dir is not None:
             clusters, _ = checkpoint(lambda: clusters, out_dir,
                                      "clusters", cfg)

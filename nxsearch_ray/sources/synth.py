@@ -38,14 +38,28 @@ BOILER_FOOTER = ("privacy policy terms of service cookie settings "
 TRUTH_CLASSES_GATED = ("copy", "near", "contain", "boiler")
 
 
-def vocab_from_documents(sf_dir: str, limit: int = 4096) -> list[str]:
+def vocab_from_documents(sf_dir: str, limit: int = 32768) -> list[str]:
     """Deterministic vocabulary: distinct whitespace words of the
-    sandbox documents table, sorted, capped."""
+    sandbox documents table, deterministically extended with numbered
+    variants up to ``limit``.
+
+    The extension matters for realism: with a tiny vocabulary,
+    unrelated zipf documents share exact 5-grams at rates real web
+    text never shows, flooding every shingle-keyed pass with junk
+    candidates.  ~32k tokens puts cross-document shingle collisions
+    back into a Common-Crawl-plausible regime."""
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
     words: set[str] = set()
     for txt in t.column("text").to_pylist():
         words.update((txt or "").split())
-    return sorted(words)[:limit]
+    base = sorted(words)
+    out: list[str] = []
+    k = 0
+    while len(out) < limit:
+        suffix = str(k) if k else ""
+        out.extend(w + suffix for w in base)
+        k += 1
+    return out[:limit]
 
 
 def synth_pages(n_base: int, *, seed: int = 42,
@@ -152,7 +166,7 @@ def synth_parquet(n_base: int, *, seed: int = 42,
     """Write (or reuse) a cached synthetic corpus as a multi-file
     parquet directory (many files ⇒ many read blocks ⇒ real
     parallelism from the first stage)."""
-    out_dir = out_dir or f"/tmp/synth_corpus/n{n_base}_s{seed}"
+    out_dir = out_dir or f"/tmp/synth_corpus/v2_n{n_base}_s{seed}"
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir

@@ -123,7 +123,7 @@ def canonicalize_stage(ds, cfg: PipelineConfig, *,
     """Attach the canonicalization actor pool to a pages Dataset."""
     if concurrency is None:
         concurrency = (cfg.canonicalize_concurrency
-                       if cfg.canonicalize_concurrency else (2, 16))
+                       if cfg.canonicalize_concurrency else (1, 64))
     return ds.map_batches(
         CanonicalizeActor,
         fn_constructor_args=(cfg.to_json(), include_tokens),

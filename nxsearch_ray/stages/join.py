@@ -1,14 +1,20 @@
-"""Partitioned hash join for Ray Data (both-sides-large path).
+"""Distributed equi-join for Ray Data (both-sides-large path).
 
-Ray 2.49 has no general `Dataset.join`; the portable pattern (per the
-Ray docs guidance) is: add ``bucket = hash(key) % B`` to both sides,
-shuffle both on the bucket, and join matching buckets inside
-`map_groups`.  Arrow's Acero join rejects list-typed payload columns
-(our minhash/bottomk), so the within-bucket join is a numpy
-searchsorted + ``Table.take`` gather, which supports every Arrow type.
+Ray 2.49 has no general `Dataset.join`, and Arrow's Acero join rejects
+list-typed payload columns (our minhash/bottomk/token_ids), so this
+implements a **sort-merge join**: tag rows from both sides, align
+schemas, ONE global sort on the key, then a vectorized per-block run
+scan that broadcasts each key's single right-side row to its left-side
+rows (`Table.take` gather — supports every Arrow type).  Runs touching
+a block edge fall back to a tiny per-key groupby, exactly like the
+candidate pair scan (stages/pairs.py).
 
-This is the engine's hash-join operator (the distributed analogue of
-the reference's token→term hash-lookup semi-join ``tokenset_resolve``,
+Contract: the right side is unique per key (true for signature /
+canonical tables keyed by page_id); every matching left row appears
+exactly once, with right payload columns suffixed.
+
+This is the engine's join operator (the distributed analogue of the
+reference's token→term hash-lookup semi-join ``tokenset_resolve``,
 reference src/core/tokenizer.c:160-199).  Small-side joins should use
 broadcast lookups instead (see stages/verify.py).
 """
@@ -17,23 +23,17 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-
-from nxsearch_ray.functions.hashing import splitmix64
+import pyarrow.compute as pc
 
 
 def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
               left_schema: pa.Schema, right_schema: pa.Schema,
               num_buckets: int = 64, right_suffix: str = "_r"):
-    """Inner-join ``left[left_key] == right[right_key]``.
-
-    Schemas are passed explicitly (Ray schemas are lazy; passing them
-    avoids triggering execution just to inspect).  The right side must
-    be unique per key (true for signature/canonical tables keyed by
-    page_id); every matching left row appears exactly once in the
-    output, with right payload columns suffixed ``right_suffix``.
-    ``num_buckets`` bounds group count per shuffle; hot keys are not a
-    concern here because the right side is unique per key.
-    """
+    """Inner-join ``left[left_key] == right[right_key]`` (sort-merge;
+    the ``num_buckets`` parameter is accepted for API compatibility
+    and ignored).  Schemas are passed explicitly — Ray schemas are
+    lazy, and passing them avoids triggering execution just to
+    inspect."""
     left_names = [f.name for f in left_schema]
     payload_fields = [pa.field(f.name + right_suffix, f.type)
                       for f in right_schema if f.name != right_key]
@@ -41,23 +41,18 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
     out_schema = pa.schema(list(left_schema) + payload_fields)
 
     union_schema = pa.schema(
-        [pa.field("__side", pa.int8()), pa.field("__bucket", pa.int32()),
-         pa.field("__key", pa.int64())]
+        [pa.field("__side", pa.int8()), pa.field("__key", pa.int64())]
         + list(left_schema) + payload_fields)
 
     def prepare(side: int, key: str, rename: dict[str, str]):
         def fn(t: pa.Table) -> pa.Table:
             k = t.column(key).to_numpy().astype(np.int64)
-            b = (splitmix64(k.astype(np.uint64))
-                 % np.uint64(num_buckets)).astype(np.int32)
             cols = {rename.get(c, c): t.column(c) for c in t.column_names}
             out = []
             for f in union_schema:
                 if f.name == "__side":
                     out.append(pa.array(
                         np.full(t.num_rows, side, dtype=np.int8)))
-                elif f.name == "__bucket":
-                    out.append(pa.array(b))
                 elif f.name == "__key":
                     out.append(pa.array(k, type=pa.int64()))
                 elif f.name in cols:
@@ -75,25 +70,77 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
                  for f in right_schema if f.name != right_key}),
         batch_format="pyarrow")
 
+    mixed_schema = pa.schema(list(union_schema)
+                             + [pa.field("__pending", pa.bool_())])
+
+    def block_join(t: pa.Table) -> pa.Table:
+        """Join interior key runs vectorized; route boundary runs to
+        the fallback untouched."""
+        n = t.num_rows
+        if n == 0:
+            return mixed_schema.empty_table()
+        keys = t.column("__key").to_numpy()
+        side = t.column("__side").to_numpy()
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        nruns = len(starts)
+        run_id = np.cumsum(np.concatenate(
+            ([0], (keys[1:] != keys[:-1]).astype(np.int64))))
+        pend = np.zeros(n, dtype=bool)
+        pend[:starts[1] if nruns > 1 else n] = True
+        pend[starts[-1]:] = True
+
+        right_rows = np.nonzero(side == 1)[0]
+        right_of_run = np.full(nruns, -1, dtype=np.int64)
+        right_of_run[run_id[right_rows]] = right_rows
+
+        left_rows = np.nonzero((side == 0) & ~pend)[0]
+        rpos = right_of_run[run_id[left_rows]]
+        matched = rpos >= 0
+        lsel = left_rows[matched]
+        rsel = rpos[matched]
+
+        lt = t.take(pa.array(lsel, type=pa.int64()))
+        rt = t.take(pa.array(rsel, type=pa.int64()))
+        cols = [lt.column("__side"), lt.column("__key")]
+        cols += [lt.column(nm) for nm in left_names]
+        cols += [rt.column(nm) for nm in payload_names]
+        cols.append(pa.array(np.zeros(len(lsel), dtype=bool)))
+        done_t = pa.Table.from_arrays(cols, schema=mixed_schema)
+
+        pend_t = t.filter(pa.array(pend)).append_column(
+            "__pending", pa.array(np.ones(int(pend.sum()), dtype=bool)))
+        return pa.concat_tables([done_t, pend_t])
+
+    # coalesce before the sort: fragmented inputs (unions of filter
+    # outputs, prior join results) multiply the sort's per-block
+    # sample/partition overhead
+    mixed = left_t.union(right_t).repartition(64) \
+        .sort(["__key", "__side"]).map_batches(
+            block_join, batch_format="pyarrow",
+            batch_size=None).materialize()
+
+    done = mixed.map_batches(
+        lambda t: t.filter(pc.invert(t.column("__pending")))
+        .select(left_names + payload_names),
+        batch_format="pyarrow")
+    pending = mixed.map_batches(
+        lambda t: t.filter(t.column("__pending")),
+        batch_format="pyarrow")
+
     def join_group(g: pa.Table) -> pa.Table:
         side = g.column("__side").to_numpy()
-        keys = g.column("__key").to_numpy()
-        lmask = side == 0
-        lt = g.filter(pa.array(lmask))
-        rt = g.filter(pa.array(~lmask))
-        rkeys = keys[~lmask]
-        if lt.num_rows == 0 or rt.num_rows == 0:
+        rpos = np.nonzero(side == 1)[0]
+        lpos = np.nonzero(side == 0)[0]
+        if len(rpos) == 0 or len(lpos) == 0:
             return out_schema.empty_table()
-        order = np.argsort(rkeys, kind="stable")
-        rsorted = rkeys[order]
-        lkeys = keys[lmask]
-        pos = np.clip(np.searchsorted(rsorted, lkeys), 0, len(rsorted) - 1)
-        hit = rsorted[pos] == lkeys
-        lt = lt.filter(pa.array(hit))
-        rt_taken = rt.take(pa.array(order[pos[hit]], type=pa.int64()))
-        cols = [lt.column(n) for n in left_names]
-        cols += [rt_taken.column(n) for n in payload_names]
+        lt = g.take(pa.array(lpos, type=pa.int64()))
+        rt = g.take(pa.array(np.full(len(lpos), rpos[0]),
+                             type=pa.int64()))
+        cols = [lt.column(nm) for nm in left_names]
+        cols += [rt.column(nm) for nm in payload_names]
         return pa.Table.from_arrays(cols, schema=out_schema)
 
-    return left_t.union(right_t).groupby("__bucket").map_groups(
+    fallback = pending.groupby("__key").map_groups(
         join_group, batch_format="pyarrow")
+    return done.union(fallback)

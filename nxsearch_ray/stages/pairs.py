@@ -187,10 +187,14 @@ def multi_candidate_pairs(signatures_ds, cfg: PipelineConfig):
                                       batch_format="pyarrow")
     cap = cfg.hot_bucket_cap
     skip_by_src = {3: cfg.anchor_bucket_max}
+    # pair rows carry the int8 source CODE, not the name: the pair
+    # stream is the widest intermediate and strings triple its width
     out_schema = pa.schema([
-        ("a", pa.int64()), ("b", pa.int64()), ("source", pa.string()),
-        ("pending_key", pa.uint64()), ("pending_id", pa.int64()),
-        ("pending_src", pa.int8())])
+        ("a", pa.int64()), ("b", pa.int64()), ("src", pa.int8()),
+        ("pending_key", pa.uint64()), ("pending_id", pa.int64())])
+
+    anchor_max = cfg.anchor_bucket_max
+    suffix_code = SRC_NAMES.index("suffix")
 
     def block_fn(t: pa.Table) -> pa.Table:
         keys = t.column("bucket_key").to_numpy()
@@ -206,33 +210,47 @@ def multi_candidate_pairs(signatures_ds, cfg: PipelineConfig):
             counts = np.diff(np.concatenate((starts, [n])))
             pend_mask[:counts[0]] = True
             pend_mask[starts[-1]:] = True
-            multi = np.nonzero(counts >= 2)[0]
-            for r in multi:
-                if r == 0 or r == len(starts) - 1:
-                    continue
+            interior = np.ones(len(starts), dtype=bool)
+            interior[0] = False
+            interior[-1] = False
+            # vectorized fast path: 2-member runs are the overwhelming
+            # majority of non-singleton buckets — emit their single
+            # pair with pure array ops, no per-run Python
+            two = interior & (counts == 2)
+            s2 = starts[two]
+            if len(s2):
+                x = ids[s2]
+                y = ids[s2 + 1]
+                ok = x != y
+                lo = np.minimum(x, y)[ok]
+                hi = np.maximum(x, y)[ok]
+                a_out.append(lo)
+                b_out.append(hi)
+                s_out.append(srcs[s2][ok])
+            # slow path: runs of ≥3 (rare; skew policy applies)
+            for r in np.nonzero(interior & (counts >= 3))[0]:
                 s, c = starts[r], counts[r]
                 code = int(srcs[s])
                 a, b = pairs_within(ids[s:s + c], cap,
                                     skip_by_src.get(code))
                 a_out.append(a)
                 b_out.append(b)
-                s_out.extend([SRC_NAMES[code]] * len(a))
+                s_out.append(np.full(len(a), code, dtype=np.int8))
         a_all = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
         b_all = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        s_all = np.concatenate(s_out) if s_out else np.empty(0, np.int8)
         npairs = len(a_all)
         npend = int(pend_mask.sum())
         return pa.Table.from_arrays(
             [pa.array(np.concatenate([a_all, np.zeros(npend, np.int64)])),
              pa.array(np.concatenate([b_all, np.zeros(npend, np.int64)])),
-             pa.array(s_out + [""] * npend, type=pa.string()),
+             pa.array(np.concatenate([s_all, srcs[pend_mask]]),
+                      type=pa.int8()),
              pa.array(np.concatenate(
                  [np.zeros(npairs, np.uint64), keys[pend_mask]]),
                  type=pa.uint64()),
              pa.array(np.concatenate(
-                 [np.full(npairs, -1, np.int64), ids[pend_mask]])),
-             pa.array(np.concatenate(
-                 [np.zeros(npairs, np.int8), srcs[pend_mask]]),
-                 type=pa.int8())],
+                 [np.full(npairs, -1, np.int64), ids[pend_mask]]))],
             schema=out_schema)
 
     mixed = keyed.sort(["bucket_key", "src"]).map_batches(
@@ -241,12 +259,12 @@ def multi_candidate_pairs(signatures_ds, cfg: PipelineConfig):
     done = mixed.map_batches(
         lambda t: t.filter(
             pa.compute.equal(t.column("pending_id"), -1))
-        .select(["a", "b", "source"]),
+        .select(["a", "b", "src"]),
         batch_format="pyarrow")
     pending = mixed.map_batches(
         lambda t: t.filter(
             pa.compute.not_equal(t.column("pending_id"), -1))
-        .select(["pending_key", "pending_id", "pending_src"])
+        .select(["pending_key", "pending_id", "src"])
         .rename_columns(["bucket_key", "page_id", "src"]),
         batch_format="pyarrow")
 
@@ -256,8 +274,8 @@ def multi_candidate_pairs(signatures_ds, cfg: PipelineConfig):
                             skip_by_src.get(code))
         return pa.Table.from_arrays(
             [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64()),
-             pa.array([SRC_NAMES[code]] * len(a), type=pa.string())],
-            names=["a", "b", "source"])
+             pa.array(np.full(len(a), code, dtype=np.int8))],
+            names=["a", "b", "src"])
 
     fallback = pending.groupby(["bucket_key", "src"]).map_groups(
         emit, batch_format="pyarrow")
@@ -364,7 +382,7 @@ def candidate_pairs(keyed_ds, cfg: PipelineConfig, source: str,
     return done.union(fallback)
 
 
-def union_pair_sources(*pair_datasets):
+def union_pair_sources(*pair_datasets, min_suffix_hits: int = 1):
     """minhash ∪ simhash ∪ suffix candidate pairs → one row per (a, b)
     carrying the sorted, comma-joined *set* of proposing sources
     (deterministic; verification checks each source's rule).  This is
@@ -379,66 +397,99 @@ def union_pair_sources(*pair_datasets):
     for other in pair_datasets[1:]:
         ds = ds.union(other)
 
-    out_schema = pa.schema([
-        ("a", pa.int64()), ("b", pa.int64()), ("source", pa.string()),
+    # rows in: (a, b, src int8 code).  Intermediate rows out: (a, b,
+    # mask int8) where mask = OR of (1 << code) for surviving sources.
+    mask_schema = pa.schema([
+        ("a", pa.int64()), ("b", pa.int64()), ("mask", pa.int8()),
         ("pending", pa.bool_())])
+    SUFFIX_CODE = SRC_NAMES.index("suffix")
+    # mask → "exact,minhash,..." (SRC_NAMES happens to be sorted)
+    MASK_LUT = np.array(
+        [",".join(n for i, n in enumerate(SRC_NAMES) if m >> i & 1)
+         for m in range(1 << len(SRC_NAMES))], dtype=object)
 
     def block_fn(t: pa.Table) -> pa.Table:
+        """Fully vectorized pair-dedup + source-set merge over runs of
+        equal (a, b): per-run source bitmask via bitwise_or.reduceat,
+        per-run suffix hit count via add.reduceat — no per-run
+        Python even with millions of duplicated pairs."""
         n = t.num_rows
         if n == 0:
-            return out_schema.empty_table()
+            return mask_schema.empty_table()
         a = t.column("a").to_numpy()
         b = t.column("b").to_numpy()
+        src = t.column("src").to_numpy().astype(np.int32)
         change = np.nonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1]))[0] + 1
         starts = np.concatenate(([0], change))
         counts = np.diff(np.concatenate((starts, [n])))
         pend_mask = np.zeros(n, dtype=bool)
         pend_mask[:counts[0]] = True
         pend_mask[starts[-1]:] = True
-        keep_mask = np.zeros(n, dtype=bool)
-        interior = (starts > 0) & (starts + counts < n)
-        keep_mask[starts[interior & (counts == 1)]] = True
-        srcs = None
-        merged_rows: list[tuple[int, int, str]] = []
-        for r in np.nonzero(interior & (counts >= 2))[0]:
-            s, c = starts[r], counts[r]
-            if srcs is None:
-                srcs = t.column("source").to_pylist()
-            merged_rows.append((int(a[s]), int(b[s]), ",".join(
-                sorted(set(srcs[s:s + c])))))
-        out = t.filter(pa.array(keep_mask | pend_mask))
-        out_pend = pend_mask[keep_mask | pend_mask]
-        base = pa.Table.from_arrays(
-            [out.column("a"), out.column("b"), out.column("source"),
-             pa.array(out_pend)], schema=out_schema)
-        if merged_rows:
-            ma, mb, ms = zip(*merged_rows)
-            base = pa.concat_tables([base, pa.Table.from_arrays(
-                [pa.array(ma, type=pa.int64()),
-                 pa.array(mb, type=pa.int64()),
-                 pa.array(ms, type=pa.string()),
-                 pa.array([False] * len(ma))], schema=out_schema)])
-        return base
+        interior = np.ones(len(starts), dtype=bool)
+        interior[0] = False
+        if len(starts) > 1:
+            interior[-1] = False
+        else:
+            interior[0] = False
+
+        bits = np.left_shift(1, src)
+        run_or = np.bitwise_or.reduceat(bits, starts)
+        suffix_hits = np.add.reduceat(
+            (src == SUFFIX_CODE).astype(np.int64), starts)
+        suffix_bit = 1 << SUFFIX_CODE
+        final_mask = run_or & ~suffix_bit
+        final_mask |= np.where(suffix_hits >= min_suffix_hits,
+                               suffix_bit, 0)
+        emit = interior & (final_mask != 0)
+        s_emit = starts[emit]
+        merged = pa.Table.from_arrays(
+            [pa.array(a[s_emit]), pa.array(b[s_emit]),
+             pa.array(final_mask[emit].astype(np.int8), type=pa.int8()),
+             pa.array(np.zeros(len(s_emit), dtype=bool))],
+            schema=mask_schema)
+        pend = pa.Table.from_arrays(
+            [pa.array(a[pend_mask]), pa.array(b[pend_mask]),
+             pa.array(bits[pend_mask].astype(np.int8), type=pa.int8()),
+             pa.array(np.ones(int(pend_mask.sum()), dtype=bool))],
+            schema=mask_schema)
+        return pa.concat_tables([merged, pend])
 
     mixed = ds.sort(["a", "b"]).map_batches(
         block_fn, batch_format="pyarrow", batch_size=None).materialize()
 
+    def expand(t: pa.Table) -> pa.Table:
+        names = MASK_LUT[t.column("mask").to_numpy().astype(np.int32)]
+        return pa.Table.from_arrays(
+            [t.column("a"), t.column("b"),
+             pa.array(names.tolist(), type=pa.string())],
+            names=["a", "b", "source"])
+
     done = mixed.map_batches(
-        lambda t: t.filter(pa.compute.invert(t.column("pending")))
-        .select(["a", "b", "source"]),
+        lambda t: expand(t.filter(
+            pa.compute.invert(t.column("pending")))),
         batch_format="pyarrow")
+    # pending rows keep per-bucket-hit granularity: mask is a single
+    # source bit per row, so the fallback can re-count suffix hits
     pending = mixed.map_batches(
         lambda t: t.filter(t.column("pending"))
-        .select(["a", "b", "source"]),
+        .select(["a", "b", "mask"]),
         batch_format="pyarrow")
 
     def merge(group: pa.Table) -> pa.Table:
-        srcs = ",".join(sorted(
-            {x for s in group.column("source").to_pylist()
-             for x in s.split(",")}))
+        masks = group.column("mask").to_numpy().astype(np.int32)
+        n_suffix = int((masks == (1 << SUFFIX_CODE)).sum())
+        m = 0
+        for v in np.unique(masks):
+            if v != (1 << SUFFIX_CODE):
+                m |= int(v)
+        if n_suffix >= min_suffix_hits:
+            m |= 1 << SUFFIX_CODE
+        if m == 0:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                              ("source", pa.string())]).empty_table()
         return pa.Table.from_arrays(
             [group.column("a").slice(0, 1), group.column("b").slice(0, 1),
-             pa.array([srcs], type=pa.string())],
+             pa.array([str(MASK_LUT[m])], type=pa.string())],
             names=["a", "b", "source"])
 
     fallback = pending.groupby(["a", "b"]).map_groups(

@@ -93,10 +93,20 @@ class SignatureActor:
             if name in batch.column_names:
                 fields.append(batch.schema.field(name))
                 cols.append(batch.column(name))
+        # verification-side compact representations (consistent across
+        # every physical plan AND the oracle): 8-bit MinHash residues
+        # (false-match prob 1/256 per perm ⇒ est_j inflated by
+        # ≤ (1-J)/256 — far below decision noise) and high-32-bit
+        # bottom-k prefixes (order-preserving truncation).  Banding
+        # still uses the full 64-bit signature.
+        mh_res = (sig & np.uint64(0xFF)).astype(np.uint8)
+        bk32 = (bk_flat >> np.uint64(32)).astype(np.uint32)
+
         fields += [
             pa.field("minhash", pa.list_(pa.uint64(), cfg.num_perms)),
+            pa.field("mh_res", pa.list_(pa.uint8(), cfg.num_perms)),
             pa.field("simhash", pa.uint64()),
-            pa.field("bottomk", pa.list_(pa.uint64())),
+            pa.field("bottomk", pa.list_(pa.uint32())),
             pa.field("anchors", pa.list_(pa.uint64())),
             pa.field("num_shingles", pa.uint32()),
             pa.field("seq_hash", pa.uint64()),
@@ -104,9 +114,12 @@ class SignatureActor:
         cols += [
             pa.FixedSizeListArray.from_arrays(
                 pa.array(sig.reshape(-1), type=pa.uint64()), cfg.num_perms),
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(mh_res.reshape(-1), type=pa.uint8()),
+                cfg.num_perms),
             pa.array(sim, type=pa.uint64()),
             pa.ListArray.from_arrays(pa.array(bk_off, type=pa.int32()),
-                                     pa.array(bk_flat, type=pa.uint64())),
+                                     pa.array(bk32, type=pa.uint32())),
             pa.ListArray.from_arrays(pa.array(a_off, type=pa.int32()),
                                      pa.array(a_vals, type=pa.uint64())),
             pa.array(num_shingles),
@@ -116,13 +129,13 @@ class SignatureActor:
 
 
 def signature_stage(ds, cfg: PipelineConfig, *,
-                    keep_columns: tuple[str, ...] = ("page_id",),
-                    concurrency=(2, 16)):
+                    keep_columns: tuple[str, ...] = ("page_id",)):
+    """Stateless tasks, not an actor pool: the stage's only 'state' is
+    the parsed config (trivial to pickle per task), and task pools
+    release CPUs the moment execution ends."""
+    fn = SignatureActor(cfg.to_json(), keep_columns)
     return ds.map_batches(
-        SignatureActor,
-        fn_constructor_args=(cfg.to_json(), keep_columns),
+        fn,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
     )

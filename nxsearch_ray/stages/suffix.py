@@ -58,6 +58,18 @@ def collect_token_index(canonical_ds) -> TokenIndex:
     return TokenIndex.from_table(t)
 
 
+def exact_adjudicate(ta: np.ndarray, tb: np.ndarray, cfg: PipelineConfig
+                     ) -> tuple[int, float, float]:
+    """(lcs_len, containment, exact_jaccard) for one token-id pair —
+    the single exact-decision kernel shared by the broadcast stage, the
+    bucketed stage and the oracle."""
+    m = min(len(ta), len(tb))
+    if m == 0:
+        return 0, 0.0, 0.0
+    lcs = lcs_tokens(ta.tolist(), tb.tolist())
+    return lcs, lcs / m, exact_shingle_jaccard(ta, tb, cfg.shingle_k)
+
+
 def exact_shingle_jaccard(ta: np.ndarray, tb: np.ndarray,
                           k: int) -> float:
     """Exact Jaccard of the two docs' k-shingle sets (recomputed from
@@ -88,14 +100,8 @@ def exact_containment_table(pairs: pa.Table, idx: TokenIndex,
     con = np.zeros(len(a), dtype=np.float64)
     jac = np.zeros(len(a), dtype=np.float64)
     for i in range(len(a)):
-        ta = idx.tokens_for(int(a[i]))
-        tb = idx.tokens_for(int(b[i]))
-        m = min(len(ta), len(tb))
-        if m == 0:
-            continue
-        lcs[i] = lcs_tokens(ta.tolist(), tb.tolist())
-        con[i] = lcs[i] / m
-        jac[i] = exact_shingle_jaccard(ta, tb, cfg.shingle_k)
+        lcs[i], con[i], jac[i] = exact_adjudicate(
+            idx.tokens_for(int(a[i])), idx.tokens_for(int(b[i])), cfg)
     keep = (con >= cfg.containment_threshold) | \
         (jac >= cfg.jaccard_threshold)
     src = (pairs.column("source").cast(pa.string())
@@ -125,3 +131,81 @@ def suffix_verify_broadcast(pairs_ds, idx_ref, cfg: PipelineConfig,
         SuffixVerifyActor, fn_constructor_args=(idx_ref, cfg.to_json()),
         batch_format="pyarrow", batch_size=4096,
         concurrency=concurrency, num_cpus=1)
+
+
+def suffix_verify_bucketed(pairs_ds, canonical_ds, cfg: PipelineConfig,
+                           num_buckets: int = 64):
+    """Scale path for the exact-adjudication stage: attach both docs'
+    token sequences via partitioned hash joins (no driver-side token
+    index), then a stateless per-pair exact decision.  Decision math
+    identical to the broadcast path (shared ``exact_adjudicate``)."""
+    from nxsearch_ray.stages.join import hash_join
+    from nxsearch_ray.stages.signatures import list_column_numpy
+
+    import ray
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("source", pa.string())])
+    tok_schema = pa.schema([("page_id", pa.int64()),
+                            ("token_ids", pa.list_(pa.uint64()))])
+
+    # semi-join: only a tiny fraction of docs appear in screen-passing
+    # pairs, so broadcast the needed page-id SET (ids only — tiny even
+    # when payloads are not) and prune the canonical side before the
+    # payload-carrying sort.  Classic semi-join reduction.
+    pairs_ds = pairs_ds.materialize()
+    id_chunks = [np.concatenate([t.column("a").to_numpy(),
+                                 t.column("b").to_numpy()])
+                 for t in pairs_ds.select_columns(["a", "b"])
+                 .iter_batches(batch_size=1 << 20,
+                               batch_format="pyarrow")]
+    needed = np.unique(np.concatenate(id_chunks)) if id_chunks \
+        else np.empty(0, np.int64)
+    needed_ref = ray.put(needed)
+
+    def prune(t: pa.Table) -> pa.Table:
+        ids = t.column("page_id").to_numpy()
+        want = ray.get(needed_ref)
+        pos = np.searchsorted(want, ids)
+        pos = np.clip(pos, 0, max(len(want) - 1, 0))
+        hit = (len(want) > 0) & (want[pos] == ids)
+        return t.filter(pa.array(hit))
+
+    tok_slim = canonical_ds.select_columns(["page_id", "token_ids"]) \
+        .map_batches(prune, batch_format="pyarrow") \
+        .repartition(16).materialize()
+    j1 = hash_join(pairs_ds, tok_slim, left_key="a",
+                   right_key="page_id", left_schema=pair_schema,
+                   right_schema=tok_schema, num_buckets=num_buckets,
+                   right_suffix="_a")
+    j1_schema = pa.schema(list(pair_schema) + [
+        pa.field("token_ids_a", pa.list_(pa.uint64()))])
+    j2 = hash_join(j1, tok_slim, left_key="b", right_key="page_id",
+                   left_schema=j1_schema, right_schema=tok_schema,
+                   num_buckets=num_buckets, right_suffix="_b")
+
+    cfg_json = cfg.to_json()
+
+    def adjudicate(t: pa.Table) -> pa.Table:
+        c = PipelineConfig.from_json(cfg_json)
+        if t.num_rows == 0:
+            return SUFFIX_PAIR_SCHEMA.empty_table()
+        ta_flat, ta_off = list_column_numpy(t.column("token_ids_a"))
+        tb_flat, tb_off = list_column_numpy(t.column("token_ids_b"))
+        lcs = np.zeros(t.num_rows, dtype=np.int32)
+        con = np.zeros(t.num_rows, dtype=np.float64)
+        jac = np.zeros(t.num_rows, dtype=np.float64)
+        for i in range(t.num_rows):
+            lcs[i], con[i], jac[i] = exact_adjudicate(
+                ta_flat[ta_off[i]:ta_off[i + 1]],
+                tb_flat[tb_off[i]:tb_off[i + 1]], c)
+        keep = (con >= c.containment_threshold) | \
+            (jac >= c.jaccard_threshold)
+        out = pa.Table.from_arrays(
+            [t.column("a"), t.column("b"),
+             t.column("source").cast(pa.string()),
+             pa.array(lcs), pa.array(con), pa.array(jac)],
+            schema=SUFFIX_PAIR_SCHEMA)
+        return out.filter(pa.array(keep))
+
+    return j2.map_batches(adjudicate, batch_format="pyarrow")

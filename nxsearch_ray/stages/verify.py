@@ -50,9 +50,9 @@ class SignatureIndex:
     plan applies (verify_pairs_bucketed)."""
 
     page_ids: np.ndarray       # (n,) int64 sorted
-    minhash: np.ndarray        # (n, P) uint64
+    mh_res: np.ndarray         # (n, P) uint8 MinHash residues
     simhash: np.ndarray        # (n,) uint64
-    bk_flat: np.ndarray        # bottom-k values concatenated (sorted/doc)
+    bk_flat: np.ndarray        # uint32 bottom-k prefixes (sorted/doc)
     bk_offsets: np.ndarray     # (n+1,) int64
 
     @classmethod
@@ -60,11 +60,12 @@ class SignatureIndex:
         page = t.column("page_id").to_numpy()
         order = np.argsort(page, kind="stable")
         t = t.take(pa.array(order, type=pa.int64()))
-        mh_flat, _ = list_column_numpy(t.column("minhash"))
-        bk_flat, bk_off = list_column_numpy(t.column("bottomk"))
+        mh_flat, _ = list_column_numpy(t.column("mh_res"), dtype=np.uint8)
+        bk_flat, bk_off = list_column_numpy(t.column("bottomk"),
+                                            dtype=np.uint32)
         return cls(
             page_ids=page[order],
-            minhash=mh_flat.reshape(len(page), num_perms),
+            mh_res=mh_flat.reshape(len(page), num_perms),
             simhash=t.column("simhash").to_numpy().astype(_U64),
             bk_flat=bk_flat, bk_offsets=bk_off)
 
@@ -78,41 +79,95 @@ class SignatureIndex:
 
 
 def collect_signature_index(sig_ds, cfg: PipelineConfig) -> SignatureIndex:
-    t = pa.concat_tables(
-        sig_ds.select_columns(["page_id", "minhash", "simhash", "bottomk"])
-        .iter_batches(batch_size=8192, batch_format="pyarrow"))
+    """Gather the signature table to the driver.  For a MATERIALIZED
+    dataset ``to_arrow_refs`` hands back the existing blocks and
+    ``ray.get`` maps them zero-copy from the object store — much faster
+    than re-batching through ``iter_batches``."""
+    import ray
+
+    cols = ["page_id", "mh_res", "simhash", "bottomk"]
+    try:
+        blocks = ray.get(sig_ds.to_arrow_refs())
+        t = pa.concat_tables(b.select(cols) for b in blocks)
+    except Exception:
+        t = pa.concat_tables(
+            sig_ds.select_columns(cols)
+            .iter_batches(batch_size=8192, batch_format="pyarrow"))
     return SignatureIndex.from_table(t, cfg.num_perms)
+
+
+def _padded_gather(flat: np.ndarray, offsets: np.ndarray,
+                   rows: np.ndarray, width: int,
+                   pad: np.uint64) -> tuple[np.ndarray, np.ndarray]:
+    """(npairs, width) matrix of each row's sketch slice, padded with
+    ``pad`` past its true length; also returns the true lengths."""
+    starts = offsets[rows]
+    lens = offsets[rows + 1] - starts
+    idx = starts[:, None] + np.arange(width, dtype=np.int64)[None, :]
+    valid = idx < (starts + lens)[:, None]
+    np.clip(idx, 0, max(len(flat) - 1, 0), out=idx)
+    mat = np.where(valid, flat[idx] if len(flat) else pad, pad)
+    return mat, lens
 
 
 def bottomk_pair_scores(flat: np.ndarray, offsets: np.ndarray,
                         ia: np.ndarray, ib: np.ndarray,
                         k: int) -> tuple[np.ndarray, np.ndarray]:
-    """(jaccard_bk, containment_bk) per pair from bottom-k sketches.
+    """(jaccard_bk, containment_bk) per pair from bottom-k sketches,
+    fully vectorized across the pair batch.
 
     Bottom-k estimate: within the k smallest of the union of both
-    sketches, jaccard ≈ |in both| / |window|; containment of the
-    smaller-sketch doc ≈ |in both| / |window ∩ smaller sketch|.
-    Per-pair loop over sorted slices — candidate sets are orders of
-    magnitude smaller than the corpus, so this is off the hot path."""
-    jac = np.zeros(len(ia), dtype=np.float64)
-    con = np.zeros(len(ia), dtype=np.float64)
-    for i in range(len(ia)):
-        sa = flat[offsets[ia[i]]:offsets[ia[i] + 1]]
-        sb = flat[offsets[ib[i]]:offsets[ib[i] + 1]]
-        if len(sa) == 0 or len(sb) == 0:
-            continue
-        merged = np.union1d(sa, sb)[:k]
-        hi = merged[-1]
-        both = np.intersect1d(sa, sb, assume_unique=True)
-        nboth = int(np.searchsorted(both, hi, side="right"))
-        # containment of the less-sampled-in-window side: divide by
-        # min(|SA ≤ hi|, |SB ≤ hi|) — using list lengths instead is
-        # wrong when one doc's values dominate the low window
-        n_a = int(np.searchsorted(sa, hi, side="right"))
-        n_b = int(np.searchsorted(sb, hi, side="right"))
-        n_small = min(n_a, n_b)
-        jac[i] = nboth / len(merged)
-        con[i] = nboth / n_small if n_small else 0.0
+    sketches ("window", upper value hi), jaccard ≈ |in both| /
+    |window| and containment ≈ |in both| / min(|SA ≤ hi|, |SB ≤ hi|)
+    — dividing by the less-sampled side; any element ≤ hi of either
+    full set is guaranteed present in that doc's sketch, which is what
+    makes the estimator valid.
+
+    Implementation: pad each pair's two (sorted) sketches into a
+    (npairs, 2k) matrix with distinct sentinels, one row-wise sort,
+    then adjacency marks intersection elements (each sketch's values
+    are unique, so duplicates only arise across the two sketches)."""
+    n = len(ia)
+    jac = np.zeros(n, dtype=np.float64)
+    con = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return jac, con
+    offsets = np.asarray(offsets, dtype=np.int64)
+    dt = flat.dtype if len(flat) else np.dtype(np.uint32)
+    top = np.iinfo(dt).max
+    PAD_A = dt.type(top)
+    PAD_B = dt.type(top - 1)  # distinct: pads never "match"
+    SA, la = _padded_gather(flat, offsets, np.asarray(ia), k, PAD_A)
+    SB, lb = _padded_gather(flat, offsets, np.asarray(ib), k, PAD_B)
+    la = np.minimum(la, k)
+    lb = np.minimum(lb, k)
+
+    M = np.concatenate([SA, SB], axis=1)
+    M.sort(axis=1)
+    # intersection marks among REAL values only — runs of identical
+    # pad sentinels at the row tail must not count
+    dup = (M[:, 1:] == M[:, :-1]) & (M[:, 1:] < PAD_B)
+    uniq = np.concatenate(
+        [np.ones((n, 1), dtype=bool), ~dup], axis=1)
+    ucount = np.cumsum(uniq, axis=1)
+
+    total_unique = la + lb - dup.sum(axis=1)
+    win = np.minimum(total_unique, k)              # window size
+    nonempty = (la > 0) & (lb > 0)
+    # index of the win-th unique element per row = hi position
+    target = np.maximum(win, 1)
+    hi_pos = np.argmax(ucount >= target[:, None], axis=1)
+    hi = M[np.arange(n), hi_pos]
+
+    nboth = np.sum(dup & (M[:, 1:] <= hi[:, None]), axis=1)
+    n_a = np.sum(SA <= hi[:, None], axis=1)
+    n_b = np.sum(SB <= hi[:, None], axis=1)
+    n_small = np.minimum(n_a, n_b)
+
+    ok = nonempty & (win > 0)
+    jac[ok] = nboth[ok] / win[ok]
+    okc = ok & (n_small > 0)
+    con[okc] = nboth[okc] / n_small[okc]
     return jac, con
 
 
@@ -152,7 +207,7 @@ def score_pairs_table(pairs: pa.Table, idx: SignatureIndex,
     b = pairs.column("b").to_numpy()
     ia = idx.rows_for(a)
     ib = idx.rows_for(b)
-    est_j = (idx.minhash[ia] == idx.minhash[ib]).mean(axis=1)
+    est_j = (idx.mh_res[ia] == idx.mh_res[ib]).mean(axis=1)
     ham = H.hamming64(idx.simhash[ia], idx.simhash[ib])
     jac_bk, con_bk = bottomk_pair_scores(
         idx.bk_flat, idx.bk_offsets, ia, ib, cfg.bottomk)
@@ -186,11 +241,11 @@ class VerifyBroadcastActor:
 
 
 def verify_pairs_broadcast(pairs_ds, idx_ref, cfg: PipelineConfig,
-                           concurrency=(1, 8)):
+                           concurrency=(1, 24)):
     return pairs_ds.map_batches(
         VerifyBroadcastActor,
         fn_constructor_args=(idx_ref, cfg.to_json()),
-        batch_format="pyarrow", batch_size=8192,
+        batch_format="pyarrow", batch_size=32768,
         concurrency=concurrency, num_cpus=1)
 
 
@@ -204,19 +259,19 @@ def verify_pairs_bucketed(pairs_ds, sig_ds, cfg: PipelineConfig,
                              ("source", pa.string())])
     sig_schema = pa.schema([
         ("page_id", pa.int64()),
-        ("minhash", pa.list_(pa.uint64(), cfg.num_perms)),
+        ("mh_res", pa.list_(pa.uint8(), cfg.num_perms)),
         ("simhash", pa.uint64()),
-        ("bottomk", pa.list_(pa.uint64()))])
+        ("bottomk", pa.list_(pa.uint32()))])
 
     sig_slim = sig_ds.select_columns(
-        ["page_id", "minhash", "simhash", "bottomk"])
+        ["page_id", "mh_res", "simhash", "bottomk"])
     j1 = hash_join(pairs_ds, sig_slim, left_key="a", right_key="page_id",
                    left_schema=pair_schema, right_schema=sig_schema,
                    num_buckets=num_buckets, right_suffix="_a")
     j1_schema = pa.schema(list(pair_schema) + [
-        pa.field("minhash_a", pa.list_(pa.uint64(), cfg.num_perms)),
+        pa.field("mh_res_a", pa.list_(pa.uint8(), cfg.num_perms)),
         pa.field("simhash_a", pa.uint64()),
-        pa.field("bottomk_a", pa.list_(pa.uint64()))])
+        pa.field("bottomk_a", pa.list_(pa.uint32()))])
     j2 = hash_join(j1, sig_slim, left_key="b", right_key="page_id",
                    left_schema=j1_schema, right_schema=sig_schema,
                    num_buckets=num_buckets, right_suffix="_b")
@@ -227,8 +282,10 @@ def verify_pairs_bucketed(pairs_ds, sig_ds, cfg: PipelineConfig,
         c = PipelineConfig.from_json(cfg_json)
         if t.num_rows == 0:
             return SCORED_SCHEMA.empty_table()
-        mh_a, _ = list_column_numpy(t.column("minhash_a"))
-        mh_b, _ = list_column_numpy(t.column("minhash_b"))
+        mh_a, _ = list_column_numpy(t.column("mh_res_a"),
+                                    dtype=np.uint8)
+        mh_b, _ = list_column_numpy(t.column("mh_res_b"),
+                                    dtype=np.uint8)
         mh_a = mh_a.reshape(t.num_rows, c.num_perms)
         mh_b = mh_b.reshape(t.num_rows, c.num_perms)
         est_j = (mh_a == mh_b).mean(axis=1)
@@ -236,8 +293,10 @@ def verify_pairs_bucketed(pairs_ds, sig_ds, cfg: PipelineConfig,
                           t.column("simhash_b").to_numpy().astype(_U64))
         # stack both docs' sketches into one flat+offsets layout so the
         # shared bottom-k helper applies
-        bka_flat, bka_off = list_column_numpy(t.column("bottomk_a"))
-        bkb_flat, bkb_off = list_column_numpy(t.column("bottomk_b"))
+        bka_flat, bka_off = list_column_numpy(t.column("bottomk_a"),
+                                              dtype=np.uint32)
+        bkb_flat, bkb_off = list_column_numpy(t.column("bottomk_b"),
+                                              dtype=np.uint32)
         flat = np.concatenate([bka_flat, bkb_flat])
         off = np.concatenate([bka_off, bka_off[-1] + bkb_off[1:]])
         n = t.num_rows

@@ -1,0 +1,138 @@
+"""End-to-end pipeline gates (SURVEY.md §5):
+
+  * distributed pipeline == pure-python oracle, exactly
+  * dup-pair recall ≥ 0.99 vs planted truth
+  * parallelism invariance (different block counts → identical output)
+  * checkpoint-resume → identical output, stages skipped
+  * physical-plan equivalence (bucketed verify / labelprop CC)
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from nxsearch_ray.config import PipelineConfig
+from nxsearch_ray.oracle import oracle_clusters
+from nxsearch_ray.pipelines.dedup import clusters_as_table, run_dedup
+from nxsearch_ray.sources.synth import synth_pages, truth_pairs
+
+N_BASE = 600
+SEED = 21
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth_pages(N_BASE, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return oracle_clusters(corpus, PipelineConfig())
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(corpus, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("synth")
+    n = corpus.num_rows
+    per = (n + 7) // 8
+    for i in range(0, n, per):
+        pq.write_table(corpus.slice(i, per), d / f"part-{i:06d}.parquet")
+    return str(d)
+
+
+def _pages_ds(corpus_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        corpus_dir, columns=["page_id", "url", "warc_ts", "html", "lang"])
+
+
+def _cluster_dict(res) -> dict[int, int]:
+    t = clusters_as_table(res)
+    return dict(zip(t.column("page_id").to_pylist(),
+                    t.column("cluster_id").to_pylist()))
+
+
+def _pair_set(res) -> set[tuple[int, int]]:
+    batches = list(res.verified_pairs.iter_batches(
+        batch_size=100000, batch_format="pyarrow"))
+    if not batches:
+        return set()
+    t = pa.concat_tables(batches)
+    return set(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+
+
+def test_pipeline_matches_oracle_exactly(ray_session, corpus_dir, oracle):
+    labels, opairs = oracle
+    res = run_dedup(_pages_ds(corpus_dir), PipelineConfig())
+    assert _cluster_dict(res) == labels
+    assert _pair_set(res) == opairs
+
+
+def test_recall_gate(oracle, corpus):
+    labels, _ = oracle
+    truth = truth_pairs(corpus)
+    hit = sum(1 for (a, b) in truth
+              if labels.get(a) is not None
+              and labels.get(a) == labels.get(b))
+    assert hit / len(truth) >= 0.99, f"recall {hit}/{len(truth)}"
+
+
+def test_parallelism_invariance(ray_session, corpus_dir, oracle):
+    labels, _ = oracle
+    ds = _pages_ds(corpus_dir).repartition(17)
+    res = run_dedup(ds, PipelineConfig())
+    assert _cluster_dict(res) == labels
+
+
+def test_physical_plan_equivalence(ray_session, corpus_dir, oracle):
+    labels, opairs = oracle
+    res = run_dedup(_pages_ds(corpus_dir), PipelineConfig(),
+                    verify_mode="bucketed", cc_mode="labelprop")
+    assert _cluster_dict(res) == labels
+    assert _pair_set(res) == opairs
+
+
+def test_checkpoint_resume(ray_session, corpus_dir, oracle, tmp_path):
+    labels, _ = oracle
+    out = str(tmp_path / "ckpt")
+    cfg = PipelineConfig()
+    r1 = run_dedup(_pages_ds(corpus_dir), cfg, out_dir=out)
+    assert _cluster_dict(r1) == labels
+    assert not any(v for k, v in r1.stats.items() if k.endswith("resumed"))
+
+    r2 = run_dedup(_pages_ds(corpus_dir), cfg, out_dir=out)
+    assert _cluster_dict(r2) == labels
+    assert r2.stats["canonical_resumed"]
+    assert r2.stats["signatures_resumed"]
+    assert r2.stats["verified_pairs_resumed"]
+
+    # stale config invalidates every checkpoint
+    r3 = run_dedup(_pages_ds(corpus_dir),
+                   cfg.with_(jaccard_threshold=0.6), out_dir=out)
+    assert not r3.stats["canonical_resumed"]
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_partial_resume_from_mid_stage(ray_session, corpus_dir, oracle,
+                                       tmp_path):
+    """Kill-after-stage-k simulation: run with checkpoints, delete the
+    later stage dirs, re-run — early stages load, later recompute,
+    output identical (the north rule's resumable-boundaries gate)."""
+    labels, _ = oracle
+    out = str(tmp_path / "ckpt2")
+    cfg = PipelineConfig()
+    run_dedup(_pages_ds(corpus_dir), cfg, out_dir=out)
+    shutil.rmtree(f"{out}/verified_pairs")
+    shutil.rmtree(f"{out}/clusters")
+    r = run_dedup(_pages_ds(corpus_dir), cfg, out_dir=out)
+    assert r.stats["canonical_resumed"]
+    assert r.stats["signatures_resumed"]
+    assert not r.stats["verified_pairs_resumed"]
+    assert _cluster_dict(r) == labels
+    shutil.rmtree(out, ignore_errors=True)
