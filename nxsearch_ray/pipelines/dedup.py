@@ -32,14 +32,12 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 
 from nxsearch_ray.config import PipelineConfig
-from nxsearch_ray.stages.canonicalize import canonicalize_stage
 from nxsearch_ray.stages.cc import cc_driver_unionfind, cc_label_propagation
-from nxsearch_ray.stages.html_extract import extract_stage
 from nxsearch_ray.stages.pairs import (
     multi_candidate_pairs,
     union_pair_sources,
 )
-from nxsearch_ray.stages.signatures import signature_stage
+from nxsearch_ray.stages.signatures import canonsig_stage
 from nxsearch_ray.stages.suffix import (
     collect_token_index,
     suffix_verify_broadcast,
@@ -107,21 +105,18 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
     stats: dict = {}
     _t = _time.monotonic
 
-    t0 = _t()
-    canonical = _pin(
-        lambda: canonicalize_stage(extract_stage(pages_ds), cfg),
-        out_dir, "canonical", cfg, stats)
-    stats["wall_canonical"] = round(_t() - t0, 2)
+    # fused extract→canonicalize→signature: the signatures table
+    # carries token_ids, so no separate canonical materialization
     t0 = _t()
     signatures = _pin(
-        lambda: signature_stage(canonical, cfg),
+        lambda: canonsig_stage(pages_ds, cfg),
         out_dir, "signatures", cfg, stats)
     stats["wall_signatures"] = round(_t() - t0, 2)
 
     t0 = _t()
-    candidates = pin_blocks(union_pair_sources(
+    candidates = union_pair_sources(
         multi_candidate_pairs(signatures, cfg),
-        min_suffix_hits=cfg.min_anchor_hits), target_blocks=32)
+        min_suffix_hits=cfg.min_anchor_hits)
     stats["wall_candidates"] = round(_t() - t0, 2)
 
     t0 = _t()
@@ -156,9 +151,9 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
                                         batch_format="pyarrow")
         t0 = _t()
         if verify_mode == "bucketed":
-            exact = suffix_verify_bucketed(need_exact, canonical, cfg)
+            exact = suffix_verify_bucketed(need_exact, signatures, cfg)
         else:
-            tok_idx_ref = ray.put(collect_token_index(canonical))
+            tok_idx_ref = ray.put(collect_token_index(signatures))
             exact = suffix_verify_broadcast(need_exact, tok_idx_ref, cfg)
         all_pairs = pin_blocks(direct.union(
             exact.select_columns(["a", "b", "source"])),

@@ -128,6 +128,35 @@ class SignatureActor:
         return pa.Table.from_arrays(cols, schema=pa.schema(fields))
 
 
+class CanonSigActor:
+    """Fused extract → canonicalize → signature stage: one actor pool,
+    one pass over the wide input rows, one output table (signatures
+    + the canonical token_ids column) — two fewer materialization
+    barriers than chaining the stages, and the html/text columns never
+    enter the object store at all."""
+
+    def __init__(self, cfg_json: str):
+        from nxsearch_ray.stages.canonicalize import CanonicalizeActor
+
+        self.canon = CanonicalizeActor(cfg_json)
+        self.sig = SignatureActor(cfg_json,
+                                  keep_columns=("page_id", "token_ids"))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from nxsearch_ray.stages.html_extract import extract_text
+
+        if "html" in batch.column_names:
+            batch = extract_text(batch)
+        return self.sig(self.canon(batch))
+
+
+def canonsig_stage(ds, cfg: PipelineConfig, *, concurrency=(1, 64)):
+    return ds.map_batches(
+        CanonSigActor, fn_constructor_args=(cfg.to_json(),),
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
 def signature_stage(ds, cfg: PipelineConfig, *,
                     keep_columns: tuple[str, ...] = ("page_id",)):
     """Stateless tasks, not an actor pool: the stage's only 'state' is

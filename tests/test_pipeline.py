@@ -108,14 +108,13 @@ def test_checkpoint_resume(ray_session, corpus_dir, oracle, tmp_path):
 
     r2 = run_dedup(_pages_ds(corpus_dir), cfg, out_dir=out)
     assert _cluster_dict(r2) == labels
-    assert r2.stats["canonical_resumed"]
     assert r2.stats["signatures_resumed"]
     assert r2.stats["verified_pairs_resumed"]
 
     # stale config invalidates every checkpoint
     r3 = run_dedup(_pages_ds(corpus_dir),
                    cfg.with_(jaccard_threshold=0.6), out_dir=out)
-    assert not r3.stats["canonical_resumed"]
+    assert not r3.stats["signatures_resumed"]
     shutil.rmtree(out, ignore_errors=True)
 
 
@@ -131,7 +130,6 @@ def test_partial_resume_from_mid_stage(ray_session, corpus_dir, oracle,
     shutil.rmtree(f"{out}/verified_pairs")
     shutil.rmtree(f"{out}/clusters")
     r = run_dedup(_pages_ds(corpus_dir), cfg, out_dir=out)
-    assert r.stats["canonical_resumed"]
     assert r.stats["signatures_resumed"]
     assert not r.stats["verified_pairs_resumed"]
     assert _cluster_dict(r) == labels
