@@ -310,6 +310,30 @@ def q_embedding_dups(sf_dir: str):
     return embedding_dup_pairs_exact(ds, cref, threshold=_EMB_DUP_THR)
 
 
+def q_query_probe(sf_dir: str):
+    """Probe-side near-dup search: query the corpus signatures with
+    the first document's text — its orig + copy pages must match."""
+    import pyarrow.parquet as pq
+
+    from nxsearch_ray.pipelines.query import query_near_duplicates
+    from nxsearch_ray.stages.signatures import canonsig_stage
+
+    probe_text = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).column("text")[0].as_py()
+    sigs = canonsig_stage(_pages(sf_dir), _CFG).materialize()
+    out = query_near_duplicates(sigs, probe_text, _CFG)
+    return out.select_columns(["page_id", "keep"])
+
+
+def q_bucket_census(sf_dir: str):
+    from nxsearch_ray.stages.diagnostics import bucket_census
+    from nxsearch_ray.stages.signatures import canonsig_stage
+
+    sigs = canonsig_stage(_pages(sf_dir), _CFG).materialize()
+    return bucket_census(sigs, _CFG)
+
+
 def q_embedding_dups_lsh(sf_dir: str):
     import ray.data
 
@@ -347,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
+        "query_probe": q_query_probe,
+        "bucket_census": q_bucket_census,
     }
 
 

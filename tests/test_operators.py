@@ -1,0 +1,326 @@
+"""Operator-level tests: sources, setsim, ANN, text stats, multimodal,
+join, query probe, diagnostics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from nxsearch_ray.config import PipelineConfig
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------ sources
+
+def test_pages_table_shape_and_planting():
+    from nxsearch_ray.sources.pages import PAGES_SCHEMA, pages_table
+
+    t = pages_table(SF)
+    assert t.schema.equals(PAGES_SCHEMA)
+    variants = t.column("variant").to_pylist()
+    pids = t.column("page_id").to_pylist()
+    texts = dict(zip(pids, t.column("text").to_pylist()))
+    htmls = dict(zip(pids, t.column("html").to_pylist()))
+    n_copy = variants.count("copy")
+    assert n_copy > 0 and variants.count("tail") > 0
+    # exact copies share text; html embeds the text verbatim
+    for pid, var in zip(pids, variants):
+        if var == "copy":
+            assert texts[pid] == texts[pid - 1]
+        assert texts[pid].encode() in htmls[pid]
+
+
+def test_extract_text_roundtrip():
+    from nxsearch_ray.sources.pages import pages_table
+    from nxsearch_ray.stages.html_extract import extract_text
+
+    t = pages_table(SF)
+    original = t.column("text").to_pylist()
+    out = extract_text(t.drop_columns(["text"]).append_column(
+        "text", pa.array([""] * t.num_rows)))
+    assert out.column("text").to_pylist() == original
+
+
+def test_pages_from_text_files(ray_session, tmp_path):
+    from nxsearch_ray.sources.pages import pages_from_text_files
+
+    (tmp_path / "a.txt").write_text("plain text doc")
+    (tmp_path / "b.html").write_text(
+        "<html><head><title>t</title></head><body><p>html doc"
+        "</p></body></html>")
+    ds = pages_from_text_files(str(tmp_path))
+    t = pa.concat_tables(ds.iter_batches(batch_size=100,
+                                         batch_format="pyarrow"))
+    assert t.num_rows == 2
+    by_url = {u.split("/")[-1]: i for i, u in
+              enumerate(t.column("url").to_pylist())}
+    assert t.column("text")[by_url["a.txt"]].as_py() == "plain text doc"
+    assert b"html doc" in t.column("html")[by_url["b.html"]].as_py()
+
+
+# ------------------------------------------------------------- setsim
+
+def test_ngram_set_definition():
+    from nxsearch_ray.stages.setsim import ngram_set
+
+    assert ngram_set("a b c d", 3) == {"a b c", "b c d"}
+    assert ngram_set("a b", 3) == set()
+
+
+def test_ngram_jaccard_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from nxsearch_ray.stages.setsim import ngram_jaccard_pairs, ngram_set
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "completely different words here now",
+             "the quick brown fox jumps over the lazy dog today"]
+    t = pa.table({"page_id": list(range(4)), "text": texts})
+    out = ngram_jaccard_pairs(rd.from_arrow(t), n=3, threshold=0.3)
+    got = pa.concat_tables(out.iter_batches(batch_size=100,
+                                            batch_format="pyarrow"))
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in got.to_pylist()}
+    # brute force
+    grams = [ngram_set(x, 3) for x in texts]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            inter = len(grams[i] & grams[j])
+            if not inter:
+                continue
+            jac = inter / len(grams[i] | grams[j])
+            if jac >= 0.3:
+                assert pytest.approx(pairs[(i, j)]) == jac
+            else:
+                assert (i, j) not in pairs
+
+
+# ---------------------------------------------------------------- ANN
+
+def _rand_embeddings(n=200, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim))
+    return pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32()))})
+
+
+def test_brute_force_topk_exact(ray_session):
+    import ray
+    import ray.data as rd
+
+    from nxsearch_ray.stages.ann import brute_force_topk
+
+    t = _rand_embeddings()
+    from nxsearch_ray.stages.signatures import list_column_numpy
+
+    flat, off = list_column_numpy(t.column("embedding"),
+                                  dtype=np.float64)
+    mat = flat.reshape(len(t), -1)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qref = ray.put({"qids": np.array([0, 1]), "vectors": mat[:2]})
+
+    out = brute_force_topk(rd.from_arrow(t).repartition(5), qref, 5)
+    got = pa.concat_tables(out.iter_batches(batch_size=100,
+                                            batch_format="pyarrow"))
+    for q in (0, 1):
+        sims = mat @ mat[q]
+        want = set(np.argsort(-sims)[:5].tolist())
+        have = {r["vec_id"] for r in got.to_pylist() if r["qid"] == q}
+        assert have == want
+
+
+def test_lsh_topk_recall(ray_session):
+    import ray
+    import ray.data as rd
+
+    from nxsearch_ray.stages.ann import brute_force_topk, lsh_topk
+
+    t = _rand_embeddings(n=400)
+    from nxsearch_ray.stages.signatures import list_column_numpy
+
+    flat, off = list_column_numpy(t.column("embedding"),
+                                  dtype=np.float64)
+    mat = flat.reshape(len(t), -1)
+    qref = ray.put({"qids": np.array([3]), "vectors": mat[3:4]})
+    exact = brute_force_topk(rd.from_arrow(t), qref, 5)
+    approx = lsh_topk(rd.from_arrow(t), qref, 5, nbits=4)
+    e = {r["vec_id"] for r in pa.concat_tables(
+        exact.iter_batches(batch_size=100, batch_format="pyarrow")
+    ).to_pylist()}
+    a = {r["vec_id"] for r in pa.concat_tables(
+        approx.iter_batches(batch_size=100, batch_format="pyarrow")
+    ).to_pylist()}
+    # the query point itself always survives its own bucket
+    assert 3 in a
+    assert len(a & e) >= 1
+
+
+def test_embedding_dup_exact(ray_session):
+    import ray
+    import ray.data as rd
+
+    from nxsearch_ray.stages.ann import embedding_dup_pairs_exact
+
+    t = _rand_embeddings(n=50)
+    # plant a duplicate: vec 49 := vec 0
+    emb = t.column("embedding").to_pylist()
+    emb[49] = emb[0]
+    t = pa.table({"vec_id": t.column("vec_id"),
+                  "embedding": pa.array(emb, type=pa.list_(pa.float32()))})
+    from nxsearch_ray.stages.signatures import list_column_numpy
+
+    flat, off = list_column_numpy(t.column("embedding"),
+                                  dtype=np.float64)
+    cref = ray.put({"ids": np.arange(50),
+                    "vectors": flat.reshape(50, -1)})
+    out = embedding_dup_pairs_exact(rd.from_arrow(t), cref,
+                                    threshold=0.999)
+    got = pa.concat_tables(out.iter_batches(batch_size=100,
+                                            batch_format="pyarrow"))
+    assert (0, 49) in {(r["a"], r["b"]) for r in got.to_pylist()}
+
+
+# ---------------------------------------------------------- text stats
+
+def test_doc_stats_values():
+    from nxsearch_ray.stages.textstats import doc_stats
+
+    t = pa.table({"text": ["Hello World 123, test!", ""]})
+    out = doc_stats(t)
+    row = out.to_pylist()[0]
+    assert row["n_tokens"] == 4
+    assert row["n_chars"] == 22
+    assert 0 <= row["quality"] <= 1
+    empty = out.to_pylist()[1]
+    assert empty["n_tokens"] == 0
+
+
+def test_langid():
+    from nxsearch_ray.stages.textstats import LangIdActor
+
+    actor = LangIdActor()
+    t = pa.table({"text": [
+        "the cat and the dog sat for a while that it is",
+        "der hund und die katze ist nicht mit ein",
+        "el perro es una cosa que por las casas",
+        "中文网页内容测试",
+    ]})
+    assert actor(t).column("lang_pred").to_pylist() == \
+        ["en", "de", "es", "zh"]
+
+
+def test_fingerprint_deterministic():
+    from nxsearch_ray.stages.textstats import fingerprint
+
+    t = pa.table({"text": ["abc", "abd", "abc"]})
+    out = fingerprint(t)
+    md5 = out.column("md5").to_pylist()
+    roll = out.column("rolling64").to_pylist()
+    assert md5[0] == md5[2] != md5[1]
+    assert roll[0] == roll[2] != roll[1]
+
+
+# ----------------------------------------------------------- multimodal
+
+def test_image_features_fake_decode(ray_session):
+    import ray.data as rd
+
+    from nxsearch_ray.stages.multimodal import (
+        IMAGE_FEATURES_SCHEMA,
+        image_features_stage,
+    )
+
+    t = pa.table({"page_id": [1, 2], "payload": [b"fakejpeg1", b"x"]})
+    out = image_features_stage(rd.from_arrow(t),
+                               deterministic_fake=True)
+    got = pa.concat_tables(out.iter_batches(batch_size=10,
+                                            batch_format="pyarrow"))
+    assert got.schema.equals(IMAGE_FEATURES_SCHEMA)
+    rows = got.to_pylist()
+    assert {r["page_id"] for r in rows} == {1, 2}
+    assert all(16 <= r["width"] <= 1935 for r in rows)
+    assert all(len(r["features"]) == 8 for r in rows)
+
+
+def test_image_features_requires_lib_without_fake():
+    from nxsearch_ray.stages.multimodal import ImageFeatureActor
+
+    with pytest.raises(NotImplementedError):
+        ImageFeatureActor(deterministic_fake=False)
+
+
+# ----------------------------------------------------------------- join
+
+def test_hash_join_correct(ray_session):
+    import ray.data as rd
+
+    from nxsearch_ray.stages.join import hash_join
+
+    left = pa.table({"k": [1, 2, 3, 5, 2], "x": [10, 20, 30, 50, 21]})
+    right = pa.table({"id": [1, 2, 3, 4],
+                      "payload": pa.array([[1, 1], [2, 2], [3, 3], [4, 4]],
+                                          type=pa.list_(pa.uint64()))})
+    out = hash_join(
+        rd.from_arrow(left).repartition(3),
+        rd.from_arrow(right).repartition(2),
+        left_key="k", right_key="id",
+        left_schema=left.schema, right_schema=right.schema)
+    got = sorted(pa.concat_tables(out.iter_batches(
+        batch_size=100, batch_format="pyarrow")).to_pylist(),
+        key=lambda r: (r["k"], r["x"]))
+    # k=5 has no match and is dropped; k=2 appears twice on the left
+    assert [(r["k"], r["x"], r["payload_r"]) for r in got] == [
+        (1, 10, [1, 1]), (2, 20, [2, 2]), (2, 21, [2, 2]),
+        (3, 30, [3, 3])]
+
+
+# ------------------------------------------------------------- query API
+
+def test_query_near_duplicates(ray_session):
+    import ray.data as rd
+
+    from nxsearch_ray.pipelines.query import query_near_duplicates
+    from nxsearch_ray.sources.synth import synth_pages
+    from nxsearch_ray.stages.signatures import canonsig_stage
+
+    cfg = PipelineConfig()
+    tbl = synth_pages(200, seed=13)
+    sigs = canonsig_stage(
+        rd.from_arrow(tbl.drop_columns(["html"])), cfg).materialize()
+    probe_text = tbl.column("text")[0].as_py()
+    probe_pid = tbl.column("page_id")[0].as_py()
+    out = query_near_duplicates(sigs, probe_text, cfg)
+    got = pa.concat_tables(out.iter_batches(batch_size=1000,
+                                            batch_format="pyarrow"))
+    kept = {r["page_id"] for r in got.to_pylist() if r["keep"]}
+    assert probe_pid in kept  # the doc itself is an exact match
+
+
+# ----------------------------------------------------------- diagnostics
+
+def test_bucket_census(ray_session):
+    import ray.data as rd
+
+    from nxsearch_ray.sources.synth import synth_pages
+    from nxsearch_ray.stages.diagnostics import bucket_census
+    from nxsearch_ray.stages.signatures import canonsig_stage
+
+    cfg = PipelineConfig()
+    tbl = synth_pages(200, seed=13)
+    sigs = canonsig_stage(
+        rd.from_arrow(tbl.drop_columns(["html"])), cfg).materialize()
+    out = bucket_census(sigs, cfg)
+    got = pa.concat_tables(out.iter_batches(batch_size=10000,
+                                            batch_format="pyarrow"))
+    rows = got.to_pylist()
+    assert {r["source"] for r in rows} <= {
+        "exact", "minhash", "simhash", "suffix"}
+    # every doc emits one seq-hash row; copies share buckets
+    exact_total = sum(r["bucket_size"] * r["n_buckets"]
+                      for r in rows if r["source"] == "exact")
+    assert exact_total == tbl.num_rows
