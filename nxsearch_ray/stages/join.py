@@ -26,6 +26,39 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _key_filter(ds, key: str, key_values, keep_matches: bool):
+    """Shared body of semi/anti join: broadcast the key SET once
+    (`ray.put`), filter inside map_batches — no shuffle (the
+    reference's AND-NOT bitmap algebra analogue, reference
+    src/query/search.c:165-167, as a broadcast filter)."""
+    import ray
+
+    keys = np.unique(np.asarray(key_values, dtype=np.int64))
+    ref = ray.put(keys)
+
+    def fn(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        ids = t.column(key).to_numpy().astype(np.int64)
+        pos = np.clip(np.searchsorted(want, ids), 0,
+                      max(len(want) - 1, 0))
+        hit = (len(want) > 0) & (want[pos] == ids)
+        return t.filter(pa.array(hit if keep_matches else ~hit))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def semi_join(ds, key: str, key_values):
+    """Rows of ``ds`` whose ``key`` appears in ``key_values``."""
+    return _key_filter(ds, key, key_values, True)
+
+
+def anti_join(ds, key: str, key_values):
+    """Rows of ``ds`` whose ``key`` does NOT appear in ``key_values``
+    — e.g. removing already-clustered docs on resume (SURVEY.md §2.4
+    J4)."""
+    return _key_filter(ds, key, key_values, False)
+
+
 def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
               left_schema: pa.Schema, right_schema: pa.Schema,
               num_buckets: int = 64, right_suffix: str = "_r"):
