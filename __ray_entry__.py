@@ -341,7 +341,15 @@ def q_embedding_dups_lsh(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return embedding_dup_pairs(ds, threshold=_EMB_DUP_THR, nbits=8)
+    out = embedding_dup_pairs(ds, threshold=_EMB_DUP_THR, nbits=8)
+    batches = list(out.iter_batches(batch_size=1 << 20,
+                                    batch_format="pyarrow"))
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                        ("cosine", pa.float64())])
+    # approximate pass legitimately finds nothing on near-random
+    # sandbox embeddings — keep the schema on the empty result
+    return pa.concat_tables(batches) if batches \
+        else schema.empty_table()
 
 
 # ------------------------------------------------------------------
