@@ -11,10 +11,11 @@ End-to-end dataflow (physical plan in SURVEY.md §4):
         minhash: LSH bands      simhash: Hamming chunks
         suffix:  anchor shingles
     → union + exact pair dedup (source sets)      [groupby (a,b)]
-    → verification            [broadcast signature index (default) or
-                               bucketed hash joins (scale path)]
+    → verification            [bucketed hash joins (default, scale
+                               path) or broadcast signature index]
     → exact suffix-automaton verify for screen-only survivors
-    → connected components    [driver union-find | label propagation]
+    → connected components    [tree-reduce union-find (default) |
+                               label propagation | driver union-find]
     → clusters (page_id, cluster_id)
 
 Materialization policy: `canonical` and `signatures` are consumed by
@@ -32,23 +33,31 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 
 from nxsearch_ray.config import PipelineConfig
-from nxsearch_ray.stages.cc import cc_driver_unionfind, cc_label_propagation
+from nxsearch_ray.stages.cc import (
+    _cc_tree_reduce,
+    _star_edges,
+    cc_driver_unionfind,
+    cc_label_propagation,
+    cc_tree_unionfind,
+)
 from nxsearch_ray.stages.pairs import (
     multi_candidate_pairs,
     union_pair_sources,
 )
 from nxsearch_ray.stages.signatures import canonsig_stage
 from nxsearch_ray.stages.suffix import (
+    build_token_index_ref,
     collect_token_index,
     suffix_verify_broadcast,
     suffix_verify_bucketed,
 )
 from nxsearch_ray.stages.verify import (
+    build_signature_index_ref,
     collect_signature_index,
     verify_pairs_broadcast,
     verify_pairs_bucketed,
 )
-from nxsearch_ray.state.lineage import checkpoint
+from nxsearch_ray.state.lineage import checkpoint, is_complete, load_stage
 
 
 @dataclass
@@ -87,15 +96,27 @@ def _pin(ds_factory, out_dir, stage, cfg, stats):
 
 def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
               out_dir: str | None = None,
-              verify_mode: str = "broadcast",
-              cc_mode: str = "driver",
-              enable_suffix_pass: bool = True) -> DedupResult:
+              verify_mode: str = "bucketed",
+              cc_mode: str = "auto",
+              enable_suffix_pass: bool = True,
+              cc_tree_max_rows: int = 50_000_000) -> DedupResult:
     """Run the full near-dup pipeline over a pages Dataset.
 
-    ``verify_mode``: 'broadcast' (signature index via ray.put) or
-    'bucketed' (partitioned hash joins — the 10^12-doc plan).
-    ``cc_mode``: 'driver' (union-find reducer over the streamed pair
-    batches) or 'labelprop' (distributed min-label propagation).
+    ``verify_mode`` — how candidate pairs meet their signatures:
+      * 'bucketed' (default, the 10^12-doc plan): partitioned hash
+        joins; nothing is ever collected to one process.
+      * 'broadcast': a signature index built in ONE remote task and
+        read zero-copy by every verify actor — the small-side-broadcast
+        plan; valid while the signature table fits one node.
+
+    ``cc_mode`` — connected components over the verified pairs:
+      * 'auto' (default): collapse each pair block to star edges
+        (vectorized per-block union-find), count the survivors, then
+        tree-reduce when they fit one task (≤ ``cc_tree_max_rows``)
+        else distributed min-label propagation.  Fully distributed
+        either way; no driver-side collect.
+      * 'tree' / 'labelprop' / 'driver': force one plan ('driver'
+        streams pairs to the driver — small-scale/debug only).
     """
     import time as _time
 
@@ -105,67 +126,94 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
     stats: dict = {}
     _t = _time.monotonic
 
-    # fused extract→canonicalize→signature: the signatures table
-    # carries token_ids, so no separate canonical materialization
-    t0 = _t()
-    signatures = _pin(
-        lambda: canonsig_stage(pages_ds, cfg),
-        out_dir, "signatures", cfg, stats)
-    stats["wall_signatures"] = round(_t() - t0, 2)
-
-    t0 = _t()
-    candidates = union_pair_sources(
-        multi_candidate_pairs(signatures, cfg),
-        min_suffix_hits=cfg.min_anchor_hits)
-    stats["wall_candidates"] = round(_t() - t0, 2)
-
-    t0 = _t()
-    if verify_mode == "broadcast":
-        sig_idx_ref = ray.put(collect_signature_index(signatures, cfg))
-        scored = verify_pairs_broadcast(candidates, sig_idx_ref, cfg)
-    elif verify_mode == "bucketed":
-        scored = verify_pairs_bucketed(candidates, signatures, cfg)
+    # ---------------- resume shortcuts (ADVICE r01): a valid
+    # verified_pairs / clusters checkpoint skips ALL upstream work —
+    # nothing is built (or materialized) just to be discarded.
+    if out_dir is not None and is_complete(out_dir, "verified_pairs",
+                                           cfg):
+        all_pairs = load_stage(out_dir, "verified_pairs")
+        stats["verified_pairs_resumed"] = True
+        # upstream stages are skipped entirely; report whether their
+        # checkpoints are also present (they are, after a clean run)
+        stats["signatures_resumed"] = is_complete(out_dir, "signatures",
+                                                  cfg)
     else:
-        raise ValueError(f"unknown verify_mode {verify_mode!r}")
-    stats["wall_verify_setup"] = round(_t() - t0, 2)
+        all_pairs = None
 
-    def split_direct(t: pa.Table) -> pa.Table:
-        return t.filter(t.column("keep_minsim")) \
-            .select(["a", "b", "source"])
-
-    direct = scored.map_batches(split_direct, batch_format="pyarrow")
-
-    if enable_suffix_pass:
+    if all_pairs is None:
+        # fused extract→canonicalize→signature: the signatures table
+        # carries token_ids, so no separate canonical materialization
         t0 = _t()
-        scored = pin_blocks(scored, target_blocks=32)
-        stats["wall_verify"] = round(_t() - t0, 2)
+        signatures = _pin(
+            lambda: canonsig_stage(pages_ds, cfg),
+            out_dir, "signatures", cfg, stats)
+        stats["wall_signatures"] = round(_t() - t0, 2)
+
+        t0 = _t()
+        candidates = union_pair_sources(
+            multi_candidate_pairs(signatures, cfg),
+            min_suffix_hits=cfg.min_anchor_hits)
+        stats["wall_candidates"] = round(_t() - t0, 2)
+
+        t0 = _t()
+        if verify_mode == "broadcast":
+            sig_idx_ref = build_signature_index_ref(signatures, cfg)
+            scored = verify_pairs_broadcast(candidates, sig_idx_ref, cfg)
+        elif verify_mode == "bucketed":
+            scored = verify_pairs_bucketed(candidates, signatures, cfg)
+        else:
+            raise ValueError(f"unknown verify_mode {verify_mode!r}")
+        stats["wall_verify_setup"] = round(_t() - t0, 2)
+
+        def split_direct(t: pa.Table) -> pa.Table:
+            return t.filter(t.column("keep_minsim")) \
+                .select(["a", "b", "source"])
+
         direct = scored.map_batches(split_direct, batch_format="pyarrow")
 
-        def split_exact(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            m = pc.and_(pc.invert(t.column("keep_minsim")),
-                        t.column("keep_exact_screen"))
-            return t.filter(m).select(["a", "b", "source"])
-
-        need_exact = scored.map_batches(split_exact,
+        if enable_suffix_pass:
+            t0 = _t()
+            scored = pin_blocks(scored, target_blocks=32)
+            stats["wall_verify"] = round(_t() - t0, 2)
+            direct = scored.map_batches(split_direct,
                                         batch_format="pyarrow")
-        t0 = _t()
-        if verify_mode == "bucketed":
-            exact = suffix_verify_bucketed(need_exact, signatures, cfg)
-        else:
-            tok_idx_ref = ray.put(collect_token_index(signatures))
-            exact = suffix_verify_broadcast(need_exact, tok_idx_ref, cfg)
-        all_pairs = pin_blocks(direct.union(
-            exact.select_columns(["a", "b", "source"])),
-            target_blocks=16)
-        stats["wall_exact"] = round(_t() - t0, 2)
-    else:
-        all_pairs = direct
 
-    if out_dir is not None:
-        all_pairs, skipped = checkpoint(lambda: all_pairs, out_dir,
-                                        "verified_pairs", cfg)
-        stats["verified_pairs_resumed"] = skipped
+            def split_exact(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                m = pc.and_(pc.invert(t.column("keep_minsim")),
+                            t.column("keep_exact_screen"))
+                return t.filter(m).select(["a", "b", "source"])
+
+            need_exact = scored.map_batches(split_exact,
+                                            batch_format="pyarrow")
+            t0 = _t()
+            if verify_mode == "bucketed":
+                exact = suffix_verify_bucketed(need_exact, signatures,
+                                               cfg)
+            else:
+                tok_idx_ref = build_token_index_ref(signatures)
+                exact = suffix_verify_broadcast(need_exact, tok_idx_ref,
+                                                cfg)
+            all_pairs = direct.union(
+                exact.select_columns(["a", "b", "source"]))
+            if out_dir is None:
+                all_pairs = pin_blocks(all_pairs, target_blocks=16)
+            stats["wall_exact"] = round(_t() - t0, 2)
+        else:
+            all_pairs = direct
+
+        if out_dir is not None:
+            # checkpoint() writes (its own materialization) and
+            # re-reads — no pin_blocks first, one barrier not two
+            all_pairs, _ = checkpoint(lambda: all_pairs, out_dir,
+                                      "verified_pairs", cfg)
+            stats["verified_pairs_resumed"] = False
+
+    if out_dir is not None and is_complete(out_dir, "clusters", cfg):
+        clusters = load_stage(out_dir, "clusters")
+        stats["clusters_resumed"] = True
+        return DedupResult(clusters=clusters, verified_pairs=all_pairs,
+                           stats=stats)
 
     t0 = _t()
     if cc_mode == "driver":
@@ -177,14 +225,32 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
             tbl = clusters
             clusters, _ = checkpoint(lambda: rd.from_arrow(tbl),
                                      out_dir, "clusters", cfg)
+        return DedupResult(clusters=clusters, verified_pairs=all_pairs,
+                           stats=stats)
+
+    if cc_mode == "tree":
+        clusters = cc_tree_unionfind(all_pairs)
+        stats["cc_plan"] = "tree"
     elif cc_mode == "labelprop":
         clusters = cc_label_propagation(all_pairs)
-        stats["wall_cc"] = round(_t() - t0, 2)
-        if out_dir is not None:
-            clusters, _ = checkpoint(lambda: clusters, out_dir,
-                                     "clusters", cfg)
+        stats["cc_plan"] = "labelprop"
+    elif cc_mode == "auto":
+        star = all_pairs.select_columns(["a", "b"]).map_batches(
+            _star_edges, batch_format="pyarrow").materialize()
+        n_star = star.count()
+        stats["cc_star_edges"] = n_star
+        if n_star <= cc_tree_max_rows:
+            clusters = _cc_tree_reduce(star)
+            stats["cc_plan"] = "tree"
+        else:
+            clusters = cc_label_propagation(all_pairs)
+            stats["cc_plan"] = "labelprop"
     else:
         raise ValueError(f"unknown cc_mode {cc_mode!r}")
+    stats["wall_cc"] = round(_t() - t0, 2)
+    if out_dir is not None:
+        clusters, _ = checkpoint(lambda: clusters, out_dir,
+                                 "clusters", cfg)
 
     return DedupResult(clusters=clusters, verified_pairs=all_pairs,
                        stats=stats)

@@ -64,8 +64,17 @@ class BruteForceTopK:
         out_q, out_v, out_s = [], [], []
         for j in range(sims.shape[1]):
             col = sims[:, j]
-            top = np.argpartition(-col, k - 1)[:k] if k < len(col) \
-                else np.arange(len(col))
+            if k < len(col):
+                # exact batch-local top-k under the SAME total order as
+                # the final merge (score desc, vec_id asc): keep every
+                # element tied with the k-th score, then lexsort the
+                # candidates — a tie at the boundary can otherwise drop
+                # the lower vec_id batch-locally
+                cut = np.partition(-col, k - 1)[k - 1]
+                cand = np.nonzero(-col <= cut)[0]
+                top = cand[np.lexsort((ids[cand], -col[cand]))][:k]
+            else:
+                top = np.arange(len(col))
             out_q.append(np.full(len(top), self.qids[j], dtype=np.int64))
             out_v.append(ids[top])
             out_s.append(col[top])
@@ -127,15 +136,14 @@ def lsh_topk(emb_ds, queries_ref, k: int, *, nbits: int = 12,
     q = ray.get(queries_ref)
     qmat = _normalize(np.asarray(q["vectors"], dtype=np.float64))
     planes = make_planes(qmat.shape[1], nbits, seed)
-    q_sigs = set(hyperplane_signs(qmat, planes).tolist())
-    q_sigs_ref = ray.put(q_sigs)
+    # tiny (≤ nq uint64s): captured by the closure, shipped once with
+    # the serialized fn — no per-batch ray.get
+    q_sigs = np.unique(hyperplane_signs(qmat, planes))
 
     def bucket_filter(batch: pa.Table) -> pa.Table:
         sigs = hyperplane_signs(
             _normalize(_embedding_matrix(batch, emb_col)), planes)
-        qs = ray.get(q_sigs_ref)
-        mask = np.fromiter((int(s) in qs for s in sigs), dtype=bool,
-                           count=len(sigs))
+        mask = np.isin(sigs, q_sigs)
         return batch.filter(pa.array(mask))
 
     survivors = emb_ds.map_batches(bucket_filter, batch_format="pyarrow")
@@ -182,25 +190,66 @@ def embedding_dup_pairs_exact(emb_ds, corpus_ref, *,
 
 
 def embedding_dup_pairs(emb_ds, *, threshold: float = 0.98,
-                        nbits: int = 10, seed: int = 42,
+                        nbits: int = 8, ntables: int = 6,
+                        nprobes: int = 2, seed: int = 42,
                         id_col: str = "vec_id",
                         emb_col: str = "embedding",
                         bucket_cap: int = 4096):
-    """Near-duplicate pairs by embedding cosine: hyperplane-sign bucket
-    → pairs within bucket → exact cosine verify.  Approximate recall
-    (pairs split across buckets are missed) — raise nbits for precision
-    buckets, lower for recall; tests measure against brute force."""
-    planes_holder: dict = {}
+    """Near-duplicate pairs by embedding cosine — LSH-bucketed scale
+    path with multi-table banding AND margin-guided multiprobe:
+
+      * ``ntables`` independent hyperplane tables (different seeds);
+        a pair is found if it collides in ANY table — recall
+        1-(1-r)^L for per-table recall r;
+      * per table each vector ALSO probes ``nprobes`` extra buckets,
+        flipping the single lowest-|margin| bits (the bits a true
+        near-neighbor most likely disagrees on — Lv et al.'s
+        multiprobe heuristic);
+      * candidates within a shared bucket get the exact cosine;
+        duplicates across tables/probes are folded by one native
+        groupby max.
+
+    Recall vs the exact plan is gated in tests.  Scale note: bucket
+    rows carry the embedding (duplication L·(1+nprobes)) to avoid a
+    second join; at extreme scale emit ids only and fetch vectors via
+    the bucketed hash join (stages/join.py) instead."""
+    from nxsearch_ray.functions.hashing import splitmix64 as _smix
+
+    holder: dict = {}
+    nprobes = min(nprobes, nbits)
 
     def explode(batch: pa.Table) -> pa.Table:
         mat = _normalize(_embedding_matrix(batch, emb_col))
-        if "p" not in planes_holder:
-            planes_holder["p"] = make_planes(mat.shape[1], nbits, seed)
-        sigs = hyperplane_signs(mat, planes_holder["p"])
+        if "p" not in holder:
+            holder["p"] = [make_planes(mat.shape[1], nbits,
+                                       seed + 7919 * t)
+                           for t in range(ntables)]
+        n = len(mat)
+        keys_out: list[np.ndarray] = []
+        rows_out: list[np.ndarray] = []
+        rows = np.arange(n, dtype=np.int64)
+        for t, planes in enumerate(holder["p"]):
+            proj = mat @ planes.T                       # (n, nbits)
+            sig = np.zeros(n, dtype=np.uint64)
+            for j in range(nbits):
+                sig |= (proj[:, j] >= 0.0).astype(np.uint64) \
+                    << np.uint64(j)
+            salt = _smix(np.full(n, t + 1, dtype=np.uint64)
+                         * np.uint64(0x9E3779B97F4A7C15))
+            keys_out.append(_smix(sig ^ salt))
+            rows_out.append(rows)
+            if nprobes:
+                order = np.argsort(np.abs(proj), axis=1)
+                for p in range(nprobes):
+                    flip = order[:, p].astype(np.uint64)
+                    keys_out.append(_smix(
+                        (sig ^ (np.uint64(1) << flip)) ^ salt))
+                    rows_out.append(rows)
+        idx = pa.array(np.concatenate(rows_out), type=pa.int64())
         return pa.Table.from_arrays(
-            [pa.array(sigs, type=pa.uint64()),
-             batch.column(id_col),
-             batch.column(emb_col)],
+            [pa.array(np.concatenate(keys_out), type=pa.uint64()),
+             batch.column(id_col).take(idx),
+             batch.column(emb_col).take(idx)],
             names=["bucket_key", "vec_id", "embedding"])
 
     keyed = emb_ds.map_batches(explode, batch_format="pyarrow")
@@ -210,13 +259,13 @@ def embedding_dup_pairs(emb_ds, *, threshold: float = 0.98,
 
     def emit(group: pa.Table) -> pa.Table:
         ids = group.column("vec_id").to_numpy()
-        a, b = pairs_within(ids, bucket_cap)
+        uids, first = np.unique(ids, return_index=True)
+        a, b = pairs_within(uids, bucket_cap)
         if len(a) == 0:
             return out_schema.empty_table()
-        mat = _normalize(_embedding_matrix(group, "embedding"))
-        row_of = {int(v): i for i, v in enumerate(ids)}
-        ia = np.fromiter((row_of[int(x)] for x in a), dtype=np.int64)
-        ib = np.fromiter((row_of[int(x)] for x in b), dtype=np.int64)
+        mat = _normalize(_embedding_matrix(group, "embedding"))[first]
+        ia = np.searchsorted(uids, a)
+        ib = np.searchsorted(uids, b)
         cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
         keep = cos >= threshold
         return pa.Table.from_arrays(
@@ -224,5 +273,10 @@ def embedding_dup_pairs(emb_ds, *, threshold: float = 0.98,
              pa.array(cos[keep], type=pa.float64())],
             schema=out_schema)
 
-    return keyed.groupby("bucket_key").map_groups(emit,
-                                                  batch_format="pyarrow")
+    pairs = keyed.groupby("bucket_key").map_groups(
+        emit, batch_format="pyarrow")
+    # fold duplicates found via several tables/probes (cosine is the
+    # same exact value for every sighting, so max == the value)
+    return pairs.groupby(["a", "b"]).max("cosine").map_batches(
+        lambda t: t.rename_columns(["a", "b", "cosine"]),
+        batch_format="pyarrow")

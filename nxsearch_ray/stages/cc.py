@@ -33,26 +33,101 @@ CLUSTER_SCHEMA = pa.schema([("page_id", pa.int64()),
 
 
 def cc_driver_unionfind(pairs_ds) -> pa.Table:
-    """Stream (a, b) batches into a driver union-find; returns the
-    clusters table (only nodes that appear in ≥1 pair)."""
-    from nxsearch_ray.state.unionfind import UnionFind
+    """Stream (a, b) batches to the driver and solve components with
+    the vectorized min-hooking kernel; returns the clusters table
+    (only nodes that appear in ≥1 pair).  Small-scale plan — the
+    flagship default is ``cc_tree`` (distributed, no driver collect)."""
+    from nxsearch_ray.state.unionfind import min_label_components
 
-    uf = UnionFind()
+    a_parts, b_parts = [], []
     for batch in pairs_ds.select_columns(["a", "b"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        a = batch.column("a").to_numpy()
-        b = batch.column("b").to_numpy()
-        for i in range(len(a)):
-            uf.union(int(a[i]), int(b[i]))
-    labels = uf.labels_min()
-    if not labels:
+            batch_size=1 << 20, batch_format="pyarrow"):
+        a_parts.append(batch.column("a").to_numpy())
+        b_parts.append(batch.column("b").to_numpy())
+    if not a_parts:
         return CLUSTER_SCHEMA.empty_table()
-    nodes = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
-    labs = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
-    order = np.argsort(nodes, kind="stable")
+    nodes, labs = min_label_components(np.concatenate(a_parts),
+                                       np.concatenate(b_parts))
+    return pa.Table.from_arrays([pa.array(nodes), pa.array(labs)],
+                                schema=CLUSTER_SCHEMA)
+
+
+def _star_edges(t: pa.Table, a_col: str = "a", b_col: str = "b"
+                ) -> pa.Table:
+    """Collapse one block's edges to star edges (node → component-min
+    label seen inside this block), dropping self rows.  Associative:
+    re-running over a union of star-edge blocks merges components, so
+    this is both the leaf step and the combine step of the tree
+    reduction."""
+    from nxsearch_ray.state.unionfind import min_label_components
+
+    nodes, labs = min_label_components(t.column(a_col).to_numpy(),
+                                       t.column(b_col).to_numpy())
+    keep = nodes != labs
     return pa.Table.from_arrays(
-        [pa.array(nodes[order]), pa.array(labs[order])],
-        schema=CLUSTER_SCHEMA)
+        [pa.array(nodes[keep]), pa.array(labs[keep])],
+        names=["a", "b"])
+
+
+def cc_tree_unionfind(pairs_ds, *, fanin: int = 8):
+    """Distributed connected components by tree-reduce union-find — the
+    flagship default.  No driver-side collect and no per-row Python:
+
+      1. leaf: every pair block is collapsed to star edges (node →
+         block-local component min) by the vectorized min-hooking
+         kernel — output rows ≤ distinct nodes in the block, so dup-
+         heavy blocks shrink massively;
+      2. reduce: repartition coalesces ``fanin`` star-edge blocks into
+         one and re-collapses, log_fanin(B) rounds of narrow (non-
+         shuffling) repartitions;
+      3. root: the single surviving block holds one star edge per
+         non-min dup node; a final pass emits (page_id, cluster_id)
+         with the min nodes' self rows restored.
+
+    Memory bound: the root task holds O(distinct dup nodes) rows
+    (16 B/row).  ``run_dedup(cc_mode='auto')`` counts the collapsed
+    edges after the leaf pass and falls back to label propagation when
+    they exceed ``cfg.cc_tree_max_rows`` — the 10^12-doc escape hatch.
+    Returns a Ray Dataset with CLUSTER_SCHEMA."""
+    ds = pairs_ds.select_columns(["a", "b"]).map_batches(
+        _star_edges, batch_format="pyarrow").materialize()
+    return _cc_tree_reduce(ds, fanin=fanin)
+
+
+def _cc_tree_reduce(star_ds, *, fanin: int = 8):
+    """Reduce a materialized star-edge Dataset to the clusters table."""
+    import math
+
+    nblocks = star_ds.num_blocks()
+    while nblocks > 1:
+        target = max(1, math.ceil(nblocks / fanin))
+        star_ds = star_ds.repartition(target).map_batches(
+            _star_edges, batch_format="pyarrow",
+            batch_size=None).materialize()
+        new_n = star_ds.num_blocks()
+        if new_n >= nblocks:      # safeguard: force the root merge
+            star_ds = star_ds.repartition(1).map_batches(
+                _star_edges, batch_format="pyarrow",
+                batch_size=None).materialize()
+            break
+        nblocks = new_n
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return CLUSTER_SCHEMA.empty_table()
+        node = t.column("a").to_numpy()
+        lab = t.column("b").to_numpy()
+        # restore the min nodes (labels) as members of their own cluster
+        mins = np.unique(lab)
+        nodes = np.concatenate([node, mins])
+        labs = np.concatenate([lab, mins])
+        order = np.argsort(nodes, kind="stable")
+        return pa.Table.from_arrays(
+            [pa.array(nodes[order]), pa.array(labs[order])],
+            schema=CLUSTER_SCHEMA)
+
+    return star_ds.map_batches(finish, batch_format="pyarrow",
+                               batch_size=None)
 
 
 _SENTINEL = np.iinfo(np.int64).max
@@ -79,17 +154,12 @@ def cc_label_propagation(pairs_ds, *, max_rounds: int = 50):
         BEFORE the global iteration — long chains (the skew-cap policy
         emits them for hot buckets) mostly come from one bucket and
         land in one block, so this turns O(chain length) global rounds
-        into O(1)."""
-        from nxsearch_ray.state.unionfind import UnionFind
+        into O(1).  Vectorized (min-hooking kernel) — no per-edge
+        Python."""
+        from nxsearch_ray.state.unionfind import min_label_components
 
-        a = t.column("a").to_numpy()
-        b = t.column("b").to_numpy()
-        uf = UnionFind()
-        for i in range(len(a)):
-            uf.union(int(a[i]), int(b[i]))
-        labels = uf.labels_min()
-        node = np.fromiter(labels.keys(), np.int64, len(labels))
-        root = np.fromiter(labels.values(), np.int64, len(labels))
+        node, root = min_label_components(t.column("a").to_numpy(),
+                                          t.column("b").to_numpy())
         keep = node != root
         node, root = node[keep], root[keep]
         return pa.Table.from_arrays(

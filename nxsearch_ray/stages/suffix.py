@@ -58,6 +58,27 @@ def collect_token_index(canonical_ds) -> TokenIndex:
     return TokenIndex.from_table(t)
 
 
+def build_token_index_ref(canonical_ds):
+    """Build the broadcast TokenIndex in ONE remote task (driver never
+    holds it); returns the ObjectRef — see
+    verify.build_signature_index_ref for the rationale."""
+    import ray
+
+    refs = canonical_ds.select_columns(
+        ["page_id", "token_ids"]).to_arrow_refs()
+    if not refs:
+        return ray.put(TokenIndex(
+            page_ids=np.empty(0, np.int64),
+            tok_flat=np.empty(0, np.uint64),
+            tok_offsets=np.zeros(1, np.int64)))
+
+    @ray.remote
+    def _build(*blocks):
+        return TokenIndex.from_table(pa.concat_tables(blocks))
+
+    return _build.remote(*refs)
+
+
 def exact_adjudicate(ta: np.ndarray, tb: np.ndarray, cfg: PipelineConfig
                      ) -> tuple[int, float, float]:
     """(lcs_len, containment, exact_jaccard) for one token-id pair —

@@ -96,6 +96,31 @@ def collect_signature_index(sig_ds, cfg: PipelineConfig) -> SignatureIndex:
     return SignatureIndex.from_table(t, cfg.num_perms)
 
 
+def build_signature_index_ref(sig_ds, cfg: PipelineConfig):
+    """Build the broadcast SignatureIndex in ONE remote task — the
+    driver never holds the index; it only passes the ObjectRef to the
+    verify actors (which ray.get it zero-copy from plasma).  Removes
+    the driver-serial collect+argsort from the critical path."""
+    import ray
+
+    cols = ["page_id", "mh_res", "simhash", "bottomk"]
+    refs = sig_ds.select_columns(cols).to_arrow_refs()
+    if not refs:
+        return ray.put(SignatureIndex.from_table(
+            pa.schema([("page_id", pa.int64()),
+                       ("mh_res", pa.list_(pa.uint8(), cfg.num_perms)),
+                       ("simhash", pa.uint64()),
+                       ("bottomk", pa.list_(pa.uint32()))]).empty_table(),
+            cfg.num_perms))
+
+    @ray.remote
+    def _build(num_perms, *blocks):
+        return SignatureIndex.from_table(pa.concat_tables(blocks),
+                                         num_perms)
+
+    return _build.remote(cfg.num_perms, *refs)
+
+
 def _padded_gather(flat: np.ndarray, offsets: np.ndarray,
                    rows: np.ndarray, width: int,
                    pad: np.uint64) -> tuple[np.ndarray, np.ndarray]:
@@ -134,9 +159,18 @@ def bottomk_pair_scores(flat: np.ndarray, offsets: np.ndarray,
         return jac, con
     offsets = np.asarray(offsets, dtype=np.int64)
     dt = flat.dtype if len(flat) else np.dtype(np.uint32)
-    top = np.iinfo(dt).max
-    PAD_A = dt.type(top)
-    PAD_B = dt.type(top - 1)  # distinct: pads never "match"
+    if dt.itemsize < 8:
+        # widen so the pad sentinels sit OUTSIDE the value range — a
+        # genuine sketch value can never collide with a pad (in-band
+        # sentinels mis-scored real values w.p. ~2^-32 per element)
+        flat = flat.astype(np.int64)
+        bound = np.int64(1) << np.int64(8 * dt.itemsize)
+        PAD_B = bound            # "real" test below is `< PAD_B`
+        PAD_A = bound + 1        # distinct: pads never "match"
+    else:
+        top = np.iinfo(dt).max
+        PAD_A = dt.type(top)
+        PAD_B = dt.type(top - 1)
     SA, la = _padded_gather(flat, offsets, np.asarray(ia), k, PAD_A)
     SB, lb = _padded_gather(flat, offsets, np.asarray(ib), k, PAD_B)
     la = np.minimum(la, k)

@@ -64,6 +64,15 @@ def write_stage(ds, out_dir: str, stage: str, cfg: PipelineConfig,
     from disk, not from a re-executed lineage)."""
     sdir = stage_dir(out_dir, stage)
     t0 = time.monotonic()
+    # Clear any previous attempt first: a crash mid-write or a config
+    # change leaves stale part files (and possibly a stale manifest)
+    # that load_stage would otherwise mix with this run's output.  The
+    # manifest is written LAST, so after this rmtree the stage is
+    # unambiguously "incomplete" until the new manifest lands.
+    if os.path.isdir(sdir):
+        import shutil
+
+        shutil.rmtree(sdir)
     os.makedirs(sdir, exist_ok=True)
     ds.write_parquet(sdir)
     wall = time.monotonic() - t0

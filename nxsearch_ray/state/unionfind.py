@@ -10,6 +10,47 @@ PAPERS.md) — see stages/cc.py.
 
 from __future__ import annotations
 
+import numpy as np
+
+
+def min_label_components(a: np.ndarray, b: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized connected components over edge arrays: returns
+    ``(nodes, labels)`` where nodes is the sorted array of every node
+    id appearing in an edge and labels[i] is the MIN node id of
+    nodes[i]'s component.
+
+    Shiloach-Vishkin-style min-hooking: map ids to dense indices
+    (np.unique — index order == id order, so min index == min id),
+    then alternate full pointer-jump compression with a vectorized
+    min-hook (``np.minimum.at``) until no edge spans two roots.
+    O(E · α)-ish work in O(log n) numpy passes — no per-edge Python,
+    unlike the dict-based UnionFind below (kept for incremental use)."""
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    if len(a) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    nodes, idx = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea = idx[:len(a)]
+    eb = idx[len(a):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        # full path compression: parent <- parent[parent] to fixpoint
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        ra = parent[ea]
+        rb = parent[eb]
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        live = lo != hi
+        if not live.any():
+            break
+        np.minimum.at(parent, hi[live], lo[live])
+    return nodes, nodes[parent]
+
 
 class UnionFind:
     __slots__ = ("parent", "size")
