@@ -96,15 +96,22 @@ def _pin(ds_factory, out_dir, stage, cfg, stats):
 
 def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
               out_dir: str | None = None,
-              verify_mode: str = "bucketed",
+              verify_mode: str = "auto",
               cc_mode: str = "auto",
               enable_suffix_pass: bool = True,
-              cc_tree_max_rows: int = 50_000_000) -> DedupResult:
+              cc_tree_max_rows: int = 50_000_000,
+              broadcast_max_rows: int = 2_000_000) -> DedupResult:
     """Run the full near-dup pipeline over a pages Dataset.
 
     ``verify_mode`` — how candidate pairs meet their signatures:
-      * 'bucketed' (default, the 10^12-doc plan): partitioned hash
-        joins; nothing is ever collected to one process.
+      * 'auto' (default): broadcast while the signature table fits
+        comfortably on one executor (≤ ``broadcast_max_rows`` rows,
+        ~500 B/row → ~1 GB at the default 2M), else bucketed — the
+        same size-based join selection Spark applies with
+        autoBroadcastJoinThreshold.  Neither plan touches the driver.
+      * 'bucketed' (the 10^12-doc plan): fused pair-payload hash join
+        (stages/join.pair_join); nothing is ever collected to one
+        process.
       * 'broadcast': a signature index built in ONE remote task and
         read zero-copy by every verify actor — the small-side-broadcast
         plan; valid while the signature table fits one node.
@@ -155,6 +162,13 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
             min_suffix_hits=cfg.min_anchor_hits)
         stats["wall_candidates"] = round(_t() - t0, 2)
 
+        if verify_mode == "auto":
+            # signatures is materialized/checkpointed → count() is
+            # metadata, not an execution
+            n_sigs = signatures.count()
+            verify_mode = ("broadcast" if n_sigs <= broadcast_max_rows
+                           else "bucketed")
+            stats["verify_plan"] = verify_mode
         t0 = _t()
         if verify_mode == "broadcast":
             sig_idx_ref = build_signature_index_ref(signatures, cfg)
@@ -173,7 +187,9 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
 
         if enable_suffix_pass:
             t0 = _t()
-            scored = pin_blocks(scored, target_blocks=32)
+            # no repartition before the pin: the hash exchange already
+            # bounded the block count (one per partition)
+            scored = pin_blocks(scored)
             stats["wall_verify"] = round(_t() - t0, 2)
             direct = scored.map_batches(split_direct,
                                         batch_format="pyarrow")
@@ -194,10 +210,12 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
                 tok_idx_ref = build_token_index_ref(signatures)
                 exact = suffix_verify_broadcast(need_exact, tok_idx_ref,
                                                 cfg)
-            all_pairs = direct.union(
-                exact.select_columns(["a", "b", "source"]))
+            from nxsearch_ray.stages.shuffle import adopt_hash_context
+
+            all_pairs = adopt_hash_context(direct.union(
+                exact.select_columns(["a", "b", "source"])))
             if out_dir is None:
-                all_pairs = pin_blocks(all_pairs, target_blocks=16)
+                all_pairs = pin_blocks(all_pairs)
             stats["wall_exact"] = round(_t() - t0, 2)
         else:
             all_pairs = direct

@@ -59,6 +59,145 @@ def anti_join(ds, key: str, key_values):
     return _key_filter(ds, key, key_values, False)
 
 
+def pair_join(pairs_ds, right_ds, *, right_key: str,
+              pair_schema: pa.Schema, right_schema: pa.Schema,
+              a_col: str = "a", b_col: str = "b",
+              num_partitions: int | None = None):
+    """Attach a keyed payload table to BOTH endpoints of a pair stream
+    in one fused plan — the flagship's verify-side join.
+
+    Equivalent to ``hash_join(pairs, right, on=a) ∘ hash_join(·, right,
+    on=b)`` but with half the exchanges and zero barriers: each pair
+    emits two thin role rows (key=a → role 0, key=b → role 1); ONE
+    key-disjoint hash repartition (stages/shuffle.py) co-locates them
+    with their payload row and a vectorized run scan scatters the
+    payload onto the role rows; ONE second hash repartition on (a, b)
+    reunites the two roles into the joined row with payload columns
+    suffixed ``_a`` / ``_b``.  The payload rides each exchange exactly
+    once, every key run is complete inside its block (no fallback
+    pass), and the whole join STREAMS — no materialization.
+
+    Inner-join semantics: pairs missing either endpoint's payload row
+    are dropped; the right side must be unique per key."""
+    from nxsearch_ray.stages.shuffle import hash_partitioned
+
+    pair_names = [f.name for f in pair_schema]
+    payload_fields = [f for f in right_schema if f.name != right_key]
+    payload_names = [f.name for f in payload_fields]
+    out_schema = pa.schema(
+        list(pair_schema)
+        + [pa.field(f.name + s, f.type)
+           for s in ("_a", "_b") for f in payload_fields])
+
+    # phase-1 row layout: key + role (0=a-side, 1=b-side, 2=payload) +
+    # pair cols (null on payload rows) + payload cols (null on roles)
+    p1_schema = pa.schema(
+        [pa.field("__key", pa.int64()), pa.field("__role", pa.int8())]
+        + [pa.field(n, pair_schema.field(n).type) for n in pair_names]
+        + payload_fields)
+
+    def pair_to_roles(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols_a, cols_b = [], []
+        for f in p1_schema:
+            if f.name == "__key":
+                cols_a.append(t.column(a_col).cast(pa.int64()))
+                cols_b.append(t.column(b_col).cast(pa.int64()))
+            elif f.name == "__role":
+                cols_a.append(pa.array(np.zeros(n, np.int8)))
+                cols_b.append(pa.array(np.ones(n, np.int8)))
+            elif f.name in pair_names:
+                cols_a.append(t.column(f.name).cast(f.type))
+                cols_b.append(t.column(f.name).cast(f.type))
+            else:
+                cols_a.append(pa.nulls(n, type=f.type))
+                cols_b.append(pa.nulls(n, type=f.type))
+        return pa.concat_tables(
+            [pa.Table.from_arrays(cols_a, schema=p1_schema),
+             pa.Table.from_arrays(cols_b, schema=p1_schema)])
+
+    def right_to_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = []
+        for f in p1_schema:
+            if f.name == "__key":
+                cols.append(t.column(right_key).cast(pa.int64()))
+            elif f.name == "__role":
+                cols.append(pa.array(np.full(n, 2, np.int8)))
+            elif f.name in pair_names:
+                cols.append(pa.nulls(n, type=f.type))
+            else:
+                cols.append(t.column(f.name).cast(f.type))
+        return pa.Table.from_arrays(cols, schema=p1_schema)
+
+    roles = pairs_ds.map_batches(pair_to_roles, batch_format="pyarrow")
+    payload = right_ds.map_batches(right_to_rows,
+                                   batch_format="pyarrow")
+
+    parts1 = hash_partitioned(roles.union(payload), ["__key"],
+                              num_partitions)
+
+    def scatter_block(t: pa.Table) -> pa.Table:
+        """Local sort by (key, role); within each key run the payload
+        row (role 2) sorts last — gather it onto the role rows."""
+        n = t.num_rows
+        if n == 0:
+            return p1_schema.empty_table()
+        keys = t.column("__key").to_numpy()
+        role = t.column("__role").to_numpy()
+        order = np.lexsort((role, keys))
+        keys = keys[order]
+        role = role[order]
+        t = t.take(pa.array(order, type=pa.int64()))
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((starts[1:], [n]))
+        run_id = np.cumsum(np.concatenate(
+            ([0], (keys[1:] != keys[:-1]).astype(np.int64))))
+        last = ends - 1
+        has_payload = role[last] == 2
+        sel = np.nonzero((role < 2) & has_payload[run_id])[0]
+        psel = last[run_id[sel]]
+        lt = t.take(pa.array(sel, type=pa.int64()))
+        rt = t.take(pa.array(psel, type=pa.int64()))
+        cols = [lt.column("__key"), lt.column("__role")]
+        cols += [lt.column(nm) for nm in pair_names]
+        cols += [rt.column(nm) for nm in payload_names]
+        return pa.Table.from_arrays(cols, schema=p1_schema)
+
+    attached = parts1.map_batches(scatter_block, batch_format="pyarrow",
+                                  batch_size=None)
+
+    # ---- phase 2: reunite the two roles of each pair -----------------
+    parts2 = hash_partitioned(attached, [a_col, b_col], num_partitions)
+
+    def reunite_block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        a = t.column(a_col).to_numpy()
+        b = t.column(b_col).to_numpy()
+        role = t.column("__role").to_numpy()
+        order = np.lexsort((role, b, a))
+        a, b, role = a[order], b[order], role[order]
+        t = t.take(pa.array(order, type=pa.int64()))
+        change = np.nonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1]))[0] + 1
+        starts = np.concatenate(([0], change))
+        counts = np.diff(np.concatenate((starts, [n])))
+        s2 = starts[counts == 2]
+        ok = s2[(role[s2] == 0) & (role[s2 + 1] == 1)] \
+            if len(s2) else s2
+        at = t.take(pa.array(ok, type=pa.int64()))
+        bt = t.take(pa.array(ok + 1, type=pa.int64()))
+        cols = [at.column(nm) for nm in pair_names]
+        cols += [at.column(nm) for nm in payload_names]
+        cols += [bt.column(nm) for nm in payload_names]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return parts2.map_batches(reunite_block, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
               left_schema: pa.Schema, right_schema: pa.Schema,
               num_buckets: int = 64, right_suffix: str = "_r"):

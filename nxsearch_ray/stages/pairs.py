@@ -179,107 +179,72 @@ def explode_all(cfg_json: str):
     return fn
 
 
-def multi_candidate_pairs(signatures_ds, cfg: PipelineConfig):
-    """All candidate passes in one shuffle: explode_all → sort →
-    vectorized run scan (same plan as candidate_pairs, with per-source
-    skip policy).  Returns (a, b, source-name) pairs."""
+def multi_candidate_pairs(signatures_ds, cfg: PipelineConfig, *,
+                          num_partitions: int | None = None):
+    """All candidate passes in ONE exchange: explode_all →
+    key-disjoint hash repartition (stages/shuffle.py) → per-block
+    local sort + vectorized run scan.  Every (bucket_key, src) run is
+    complete inside its block, so there is no block-edge fallback, no
+    materialize, and the stage streams straight into pair union.
+    Returns (a, b, src int8-code) pairs."""
+    from nxsearch_ray.stages.shuffle import hash_partitioned
+
     keyed = signatures_ds.map_batches(explode_all(cfg.to_json()),
                                       batch_format="pyarrow")
+    parts = hash_partitioned(keyed, ["bucket_key"], num_partitions)
     cap = cfg.hot_bucket_cap
     skip_by_src = {3: cfg.anchor_bucket_max}
     # pair rows carry the int8 source CODE, not the name: the pair
     # stream is the widest intermediate and strings triple its width
     out_schema = pa.schema([
-        ("a", pa.int64()), ("b", pa.int64()), ("src", pa.int8()),
-        ("pending_key", pa.uint64()), ("pending_id", pa.int64())])
-
-    anchor_max = cfg.anchor_bucket_max
-    suffix_code = SRC_NAMES.index("suffix")
+        ("a", pa.int64()), ("b", pa.int64()), ("src", pa.int8())])
 
     def block_fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
         keys = t.column("bucket_key").to_numpy()
         ids = t.column("page_id").to_numpy()
         srcs = t.column("src").to_numpy()
-        n = len(keys)
+        order = np.lexsort((srcs, keys))
+        keys, ids, srcs = keys[order], ids[order], srcs[order]
         a_out, b_out, s_out = [], [], []
-        pend_mask = np.zeros(n, dtype=bool)
-        if n:
-            change = np.nonzero((keys[1:] != keys[:-1])
-                                | (srcs[1:] != srcs[:-1]))[0] + 1
-            starts = np.concatenate(([0], change))
-            counts = np.diff(np.concatenate((starts, [n])))
-            pend_mask[:counts[0]] = True
-            pend_mask[starts[-1]:] = True
-            interior = np.ones(len(starts), dtype=bool)
-            interior[0] = False
-            interior[-1] = False
-            # vectorized fast path: 2-member runs are the overwhelming
-            # majority of non-singleton buckets — emit their single
-            # pair with pure array ops, no per-run Python
-            two = interior & (counts == 2)
-            s2 = starts[two]
-            if len(s2):
-                x = ids[s2]
-                y = ids[s2 + 1]
-                ok = x != y
-                lo = np.minimum(x, y)[ok]
-                hi = np.maximum(x, y)[ok]
-                a_out.append(lo)
-                b_out.append(hi)
-                s_out.append(srcs[s2][ok])
-            # slow path: runs of ≥3 (rare; skew policy applies)
-            for r in np.nonzero(interior & (counts >= 3))[0]:
-                s, c = starts[r], counts[r]
-                code = int(srcs[s])
-                a, b = pairs_within(ids[s:s + c], cap,
-                                    skip_by_src.get(code))
-                a_out.append(a)
-                b_out.append(b)
-                s_out.append(np.full(len(a), code, dtype=np.int8))
+        change = np.nonzero((keys[1:] != keys[:-1])
+                            | (srcs[1:] != srcs[:-1]))[0] + 1
+        starts = np.concatenate(([0], change))
+        counts = np.diff(np.concatenate((starts, [n])))
+        # vectorized fast path: 2-member runs are the overwhelming
+        # majority of non-singleton buckets — emit their single
+        # pair with pure array ops, no per-run Python
+        s2 = starts[counts == 2]
+        if len(s2):
+            x = ids[s2]
+            y = ids[s2 + 1]
+            ok = x != y
+            lo = np.minimum(x, y)[ok]
+            hi = np.maximum(x, y)[ok]
+            a_out.append(lo)
+            b_out.append(hi)
+            s_out.append(srcs[s2][ok])
+        # slow path: runs of ≥3 (rare; skew policy applies)
+        for r in np.nonzero(counts >= 3)[0]:
+            s, c = starts[r], counts[r]
+            code = int(srcs[s])
+            a, b = pairs_within(ids[s:s + c], cap,
+                                skip_by_src.get(code))
+            a_out.append(a)
+            b_out.append(b)
+            s_out.append(np.full(len(a), code, dtype=np.int8))
         a_all = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
         b_all = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
         s_all = np.concatenate(s_out) if s_out else np.empty(0, np.int8)
-        npairs = len(a_all)
-        npend = int(pend_mask.sum())
         return pa.Table.from_arrays(
-            [pa.array(np.concatenate([a_all, np.zeros(npend, np.int64)])),
-             pa.array(np.concatenate([b_all, np.zeros(npend, np.int64)])),
-             pa.array(np.concatenate([s_all, srcs[pend_mask]]),
-                      type=pa.int8()),
-             pa.array(np.concatenate(
-                 [np.zeros(npairs, np.uint64), keys[pend_mask]]),
-                 type=pa.uint64()),
-             pa.array(np.concatenate(
-                 [np.full(npairs, -1, np.int64), ids[pend_mask]]))],
+            [pa.array(a_all), pa.array(b_all),
+             pa.array(s_all, type=pa.int8())],
             schema=out_schema)
 
-    mixed = keyed.sort(["bucket_key", "src"]).map_batches(
-        block_fn, batch_format="pyarrow", batch_size=None).materialize()
-
-    done = mixed.map_batches(
-        lambda t: t.filter(
-            pa.compute.equal(t.column("pending_id"), -1))
-        .select(["a", "b", "src"]),
-        batch_format="pyarrow")
-    pending = mixed.map_batches(
-        lambda t: t.filter(
-            pa.compute.not_equal(t.column("pending_id"), -1))
-        .select(["pending_key", "pending_id", "src"])
-        .rename_columns(["bucket_key", "page_id", "src"]),
-        batch_format="pyarrow")
-
-    def emit(group: pa.Table) -> pa.Table:
-        code = int(group.column("src")[0].as_py())
-        a, b = pairs_within(group.column("page_id").to_numpy(), cap,
-                            skip_by_src.get(code))
-        return pa.Table.from_arrays(
-            [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64()),
-             pa.array(np.full(len(a), code, dtype=np.int8))],
-            names=["a", "b", "src"])
-
-    fallback = pending.groupby(["bucket_key", "src"]).map_groups(
-        emit, batch_format="pyarrow")
-    return done.union(fallback)
+    return parts.map_batches(block_fn, batch_format="pyarrow",
+                             batch_size=None)
 
 
 # ------------------------------------------------------- pairs from keys
@@ -382,55 +347,46 @@ def candidate_pairs(keyed_ds, cfg: PipelineConfig, source: str,
     return done.union(fallback)
 
 
-def union_pair_sources(*pair_datasets, min_suffix_hits: int = 1):
+def union_pair_sources(*pair_datasets, min_suffix_hits: int = 1,
+                       num_partitions: int | None = None):
     """minhash ∪ simhash ∪ suffix candidate pairs → one row per (a, b)
     carrying the sorted, comma-joined *set* of proposing sources
     (deterministic; verification checks each source's rule).  This is
     the exact pair dedup — the distributed analogue of the reference's
     doc-id-exists guard (reference src/core/nxs.c:505-511).
 
-    Same vectorized sort+runs plan as ``candidate_pairs``: the shuffle
-    is one ``sort(a, b)``; unique pairs (the vast majority) pass
-    through in bulk, only duplicated pairs get per-run Python, and
-    block-edge runs fall back to a tiny groupby."""
+    ONE exchange: key-disjoint hash repartition on (a, b), then a
+    fully vectorized per-block local sort + run scan — per-run source
+    bitmask via bitwise_or.reduceat, per-run suffix hit count via
+    add.reduceat.  Every pair's sightings are complete in-block, so
+    no fallback pass exists and the stage streams into verification."""
+    from nxsearch_ray.stages.shuffle import hash_partitioned
+
     ds = pair_datasets[0]
     for other in pair_datasets[1:]:
         ds = ds.union(other)
 
-    # rows in: (a, b, src int8 code).  Intermediate rows out: (a, b,
-    # mask int8) where mask = OR of (1 << code) for surviving sources.
-    mask_schema = pa.schema([
-        ("a", pa.int64()), ("b", pa.int64()), ("mask", pa.int8()),
-        ("pending", pa.bool_())])
     SUFFIX_CODE = SRC_NAMES.index("suffix")
     # mask → "exact,minhash,..." (SRC_NAMES happens to be sorted)
     MASK_LUT = np.array(
         [",".join(n for i, n in enumerate(SRC_NAMES) if m >> i & 1)
          for m in range(1 << len(SRC_NAMES))], dtype=object)
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("source", pa.string())])
+
+    parts = hash_partitioned(ds, ["a", "b"], num_partitions)
 
     def block_fn(t: pa.Table) -> pa.Table:
-        """Fully vectorized pair-dedup + source-set merge over runs of
-        equal (a, b): per-run source bitmask via bitwise_or.reduceat,
-        per-run suffix hit count via add.reduceat — no per-run
-        Python even with millions of duplicated pairs."""
         n = t.num_rows
         if n == 0:
-            return mask_schema.empty_table()
+            return out_schema.empty_table()
         a = t.column("a").to_numpy()
         b = t.column("b").to_numpy()
         src = t.column("src").to_numpy().astype(np.int32)
+        order = np.lexsort((b, a))
+        a, b, src = a[order], b[order], src[order]
         change = np.nonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1]))[0] + 1
         starts = np.concatenate(([0], change))
-        counts = np.diff(np.concatenate((starts, [n])))
-        pend_mask = np.zeros(n, dtype=bool)
-        pend_mask[:counts[0]] = True
-        pend_mask[starts[-1]:] = True
-        interior = np.ones(len(starts), dtype=bool)
-        interior[0] = False
-        if len(starts) > 1:
-            interior[-1] = False
-        else:
-            interior[0] = False
 
         bits = np.left_shift(1, src)
         run_or = np.bitwise_or.reduceat(bits, starts)
@@ -440,58 +396,13 @@ def union_pair_sources(*pair_datasets, min_suffix_hits: int = 1):
         final_mask = run_or & ~suffix_bit
         final_mask |= np.where(suffix_hits >= min_suffix_hits,
                                suffix_bit, 0)
-        emit = interior & (final_mask != 0)
+        emit = final_mask != 0
         s_emit = starts[emit]
-        merged = pa.Table.from_arrays(
+        names = MASK_LUT[final_mask[emit]]
+        return pa.Table.from_arrays(
             [pa.array(a[s_emit]), pa.array(b[s_emit]),
-             pa.array(final_mask[emit].astype(np.int8), type=pa.int8()),
-             pa.array(np.zeros(len(s_emit), dtype=bool))],
-            schema=mask_schema)
-        pend = pa.Table.from_arrays(
-            [pa.array(a[pend_mask]), pa.array(b[pend_mask]),
-             pa.array(bits[pend_mask].astype(np.int8), type=pa.int8()),
-             pa.array(np.ones(int(pend_mask.sum()), dtype=bool))],
-            schema=mask_schema)
-        return pa.concat_tables([merged, pend])
-
-    mixed = ds.sort(["a", "b"]).map_batches(
-        block_fn, batch_format="pyarrow", batch_size=None).materialize()
-
-    def expand(t: pa.Table) -> pa.Table:
-        names = MASK_LUT[t.column("mask").to_numpy().astype(np.int32)]
-        return pa.Table.from_arrays(
-            [t.column("a"), t.column("b"),
              pa.array(names.tolist(), type=pa.string())],
-            names=["a", "b", "source"])
+            schema=out_schema)
 
-    done = mixed.map_batches(
-        lambda t: expand(t.filter(
-            pa.compute.invert(t.column("pending")))),
-        batch_format="pyarrow")
-    # pending rows keep per-bucket-hit granularity: mask is a single
-    # source bit per row, so the fallback can re-count suffix hits
-    pending = mixed.map_batches(
-        lambda t: t.filter(t.column("pending"))
-        .select(["a", "b", "mask"]),
-        batch_format="pyarrow")
-
-    def merge(group: pa.Table) -> pa.Table:
-        masks = group.column("mask").to_numpy().astype(np.int32)
-        n_suffix = int((masks == (1 << SUFFIX_CODE)).sum())
-        m = 0
-        for v in np.unique(masks):
-            if v != (1 << SUFFIX_CODE):
-                m |= int(v)
-        if n_suffix >= min_suffix_hits:
-            m |= 1 << SUFFIX_CODE
-        if m == 0:
-            return pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                              ("source", pa.string())]).empty_table()
-        return pa.Table.from_arrays(
-            [group.column("a").slice(0, 1), group.column("b").slice(0, 1),
-             pa.array([str(MASK_LUT[m])], type=pa.string())],
-            names=["a", "b", "source"])
-
-    fallback = pending.groupby(["a", "b"]).map_groups(
-        merge, batch_format="pyarrow")
-    return done.union(fallback)
+    return parts.map_batches(block_fn, batch_format="pyarrow",
+                             batch_size=None)

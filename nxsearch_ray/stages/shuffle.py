@@ -1,0 +1,93 @@
+"""Key-disjoint hash repartitioning — the engine's core exchange.
+
+Ray 2.49's hash-shuffle strategy can repartition a Dataset by key
+columns so that EVERY row of a given key lands in exactly one output
+block (verified empirically: block key sets are disjoint).  That
+property removes the whole block-edge machinery the sort-based plans
+need (pending rows, fallback groupby, the materialize that feeds the
+done/pending split): a per-block vectorized scan after a local sort
+sees every key run in full, so the stage STREAMS — one exchange, no
+barrier materialization, no second shuffle for stragglers.
+
+The strategy is scoped to the lineage (not the global DataContext):
+``repartition(keys=...)`` reads ``shuffle_strategy`` from the
+dataset's captured context at execution time, so we give the derived
+dataset a private context copy and flip only that one.  Aggregations
+elsewhere keep the default sort-based shuffle (hash-shuffle
+aggregations spin up an aggregator actor pool that costs seconds at
+small scale).
+"""
+
+from __future__ import annotations
+
+import copy
+
+
+def default_num_partitions() -> int:
+    """Half a partition per cluster CPU (min 8): each hash-shuffle
+    partition spins up an aggregator actor, and actor start-up is the
+    dominant fixed cost of the exchange at small scale (measured:
+    8 partitions → 2.3 s, 32 partitions → 6.0 s for the same 26k-page
+    candidate+union pass on 32 CPUs); the per-block scans downstream
+    are cheap enough that half-width parallelism never binds."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus // 2)
+
+
+def cluster_cpus() -> int:
+    try:
+        import ray
+
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
+def actor_pool_size(frac: float = 1.0,
+                    max_actors: int | None = None) -> tuple[int, int]:
+    """(min, max) actor-pool concurrency sized to the cluster.  A high
+    minimum pre-warms the pool at execution start instead of letting
+    autoscaling ramp 1→N — the ramp is pure fixed cost that shows up
+    directly as lost scaling efficiency on short stages."""
+    cpus = cluster_cpus()
+    hi = max(1, int(cpus * frac))
+    if max_actors is not None:
+        hi = min(hi, max_actors)
+    # modest floor only: a high minimum RESERVES CPUs for the whole
+    # execution and starves co-scheduled stages (measured: min=0.75·N
+    # regressed the 130k-page run 33 s → 88 s at 32 CPUs)
+    lo = max(1, hi // 4)
+    return (lo, hi)
+
+
+def adopt_hash_context(ds):
+    """Re-scope ``ds`` so its execution runs under the hash-shuffle
+    strategy.  The planner applies ONE DataContext — the top-level
+    dataset's — to every operator in the DAG, and ``union`` adopts its
+    LEFT operand's context; a union whose right branch contains a
+    keyed repartition therefore needs this applied to the union
+    result, or planning fails."""
+    from ray.data.context import ShuffleStrategy
+
+    try:
+        ds._plan._context = copy.deepcopy(ds.context)
+    except AttributeError:
+        pass
+    ds.context.use_push_based_shuffle = False
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return ds
+
+
+def hash_partitioned(ds, keys, num_partitions: int | None = None):
+    """Repartition ``ds`` so each value of ``keys`` occupies exactly
+    one block.  Returns the repartitioned (lazy) Dataset whose lineage
+    runs under the hash-shuffle strategy; everything derived from it
+    inherits the scoped context."""
+    n = num_partitions or default_num_partitions()
+    return adopt_hash_context(ds.repartition(n, keys=list(keys),
+                                             sort=False))

@@ -150,7 +150,13 @@ class CanonSigActor:
         return self.sig(self.canon(batch))
 
 
-def canonsig_stage(ds, cfg: PipelineConfig, *, concurrency=(1, 64)):
+def canonsig_stage(ds, cfg: PipelineConfig, *, concurrency=None):
+    if concurrency is None:
+        # pre-warmed pool sized to the cluster: autoscaling's 1→N ramp
+        # is fixed cost that caps scaling efficiency on short stages
+        from nxsearch_ray.stages.shuffle import actor_pool_size
+
+        concurrency = actor_pool_size()
     return ds.map_batches(
         CanonSigActor, fn_constructor_args=(cfg.to_json(),),
         batch_format="pyarrow", batch_size=cfg.batch_size,

@@ -157,10 +157,10 @@ def suffix_verify_broadcast(pairs_ds, idx_ref, cfg: PipelineConfig,
 def suffix_verify_bucketed(pairs_ds, canonical_ds, cfg: PipelineConfig,
                            num_buckets: int = 64):
     """Scale path for the exact-adjudication stage: attach both docs'
-    token sequences via partitioned hash joins (no driver-side token
-    index), then a stateless per-pair exact decision.  Decision math
-    identical to the broadcast path (shared ``exact_adjudicate``)."""
-    from nxsearch_ray.stages.join import hash_join
+    token sequences via the fused pair-payload join (no driver-side
+    token index), then a stateless per-pair exact decision.  Decision
+    math identical to the broadcast path (shared ``exact_adjudicate``)."""
+    from nxsearch_ray.stages.join import pair_join
     from nxsearch_ray.stages.signatures import list_column_numpy
 
     import ray
@@ -193,17 +193,9 @@ def suffix_verify_bucketed(pairs_ds, canonical_ds, cfg: PipelineConfig,
         return t.filter(pa.array(hit))
 
     tok_slim = canonical_ds.select_columns(["page_id", "token_ids"]) \
-        .map_batches(prune, batch_format="pyarrow") \
-        .repartition(16).materialize()
-    j1 = hash_join(pairs_ds, tok_slim, left_key="a",
-                   right_key="page_id", left_schema=pair_schema,
-                   right_schema=tok_schema, num_buckets=num_buckets,
-                   right_suffix="_a")
-    j1_schema = pa.schema(list(pair_schema) + [
-        pa.field("token_ids_a", pa.list_(pa.uint64()))])
-    j2 = hash_join(j1, tok_slim, left_key="b", right_key="page_id",
-                   left_schema=j1_schema, right_schema=tok_schema,
-                   num_buckets=num_buckets, right_suffix="_b")
+        .map_batches(prune, batch_format="pyarrow")
+    j2 = pair_join(pairs_ds, tok_slim, right_key="page_id",
+                   pair_schema=pair_schema, right_schema=tok_schema)
 
     cfg_json = cfg.to_json()
 

@@ -275,7 +275,11 @@ class VerifyBroadcastActor:
 
 
 def verify_pairs_broadcast(pairs_ds, idx_ref, cfg: PipelineConfig,
-                           concurrency=(1, 24)):
+                           concurrency=None):
+    if concurrency is None:
+        from nxsearch_ray.stages.shuffle import actor_pool_size
+
+        concurrency = actor_pool_size(0.75)
     return pairs_ds.map_batches(
         VerifyBroadcastActor,
         fn_constructor_args=(idx_ref, cfg.to_json()),
@@ -285,9 +289,11 @@ def verify_pairs_broadcast(pairs_ds, idx_ref, cfg: PipelineConfig,
 
 def verify_pairs_bucketed(pairs_ds, sig_ds, cfg: PipelineConfig,
                           num_buckets: int = 64):
-    """Scale path: two partitioned hash joins then a stateless score.
-    Decision math identical to the broadcast path (shared helpers)."""
-    from nxsearch_ray.stages.join import hash_join
+    """Scale path: one fused pair-payload join (stages/join.pair_join —
+    the signature payload rides each of its two shuffles exactly once)
+    then a stateless score.  Decision math identical to the broadcast
+    path (shared helpers)."""
+    from nxsearch_ray.stages.join import pair_join
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                              ("source", pa.string())])
@@ -299,16 +305,8 @@ def verify_pairs_bucketed(pairs_ds, sig_ds, cfg: PipelineConfig,
 
     sig_slim = sig_ds.select_columns(
         ["page_id", "mh_res", "simhash", "bottomk"])
-    j1 = hash_join(pairs_ds, sig_slim, left_key="a", right_key="page_id",
-                   left_schema=pair_schema, right_schema=sig_schema,
-                   num_buckets=num_buckets, right_suffix="_a")
-    j1_schema = pa.schema(list(pair_schema) + [
-        pa.field("mh_res_a", pa.list_(pa.uint8(), cfg.num_perms)),
-        pa.field("simhash_a", pa.uint64()),
-        pa.field("bottomk_a", pa.list_(pa.uint32()))])
-    j2 = hash_join(j1, sig_slim, left_key="b", right_key="page_id",
-                   left_schema=j1_schema, right_schema=sig_schema,
-                   num_buckets=num_buckets, right_suffix="_b")
+    j2 = pair_join(pairs_ds, sig_slim, right_key="page_id",
+                   pair_schema=pair_schema, right_schema=sig_schema)
 
     cfg_json = cfg.to_json()
 
