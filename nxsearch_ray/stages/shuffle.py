@@ -30,13 +30,7 @@ def default_num_partitions() -> int:
     8 partitions → 2.3 s, 32 partitions → 6.0 s for the same 26k-page
     candidate+union pass on 32 CPUs); the per-block scans downstream
     are cheap enough that half-width parallelism never binds."""
-    try:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(8, cpus // 2)
+    return max(2, min(cluster_cpus(), max(8, cluster_cpus() // 2)))
 
 
 def cluster_cpus() -> int:
@@ -46,6 +40,15 @@ def cluster_cpus() -> int:
         return int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         return 8
+
+
+def stage_num_cpus() -> float:
+    """Per-actor CPU demand for stateful stages: 1.0 normally, 0.5 on
+    tiny clusters (≤4 CPUs) so a multi-operator streaming DAG (map
+    task + shuffle aggregators + actor pool) can co-schedule at all —
+    with integral demands a 2-CPU session deadlocks (verify actor
+    pending forever behind a running map task + aggregator pool)."""
+    return 1.0 if cluster_cpus() > 4 else 0.5
 
 
 def actor_pool_size(frac: float = 1.0,
@@ -80,6 +83,14 @@ def adopt_hash_context(ds):
         pass
     ds.context.use_push_based_shuffle = False
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # aggregator actors default to 1 CPU each and the operator waits
+    # up to 300 s for the FULL pool before degrading — on a small
+    # cluster (num_partitions > CPUs) that is a hard stall.  Fractional
+    # CPUs let the whole pool schedule anywhere; the aggregators only
+    # concat+emit, so oversubscription is harmless.
+    ds.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ds.context.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+    ds.context.min_hash_shuffle_aggregator_wait_time_in_s = 10
     return ds
 
 

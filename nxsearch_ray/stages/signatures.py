@@ -151,16 +151,16 @@ class CanonSigActor:
 
 
 def canonsig_stage(ds, cfg: PipelineConfig, *, concurrency=None):
-    if concurrency is None:
-        # pre-warmed pool sized to the cluster: autoscaling's 1→N ramp
-        # is fixed cost that caps scaling efficiency on short stages
-        from nxsearch_ray.stages.shuffle import actor_pool_size
+    from nxsearch_ray.stages.shuffle import actor_pool_size, \
+        stage_num_cpus
 
+    if concurrency is None:
+        # pool sized to the cluster with a modest pre-warm floor
         concurrency = actor_pool_size()
     return ds.map_batches(
         CanonSigActor, fn_constructor_args=(cfg.to_json(),),
         batch_format="pyarrow", batch_size=cfg.batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=concurrency, num_cpus=stage_num_cpus())
 
 
 def signature_stage(ds, cfg: PipelineConfig, *,

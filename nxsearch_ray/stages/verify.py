@@ -276,15 +276,16 @@ class VerifyBroadcastActor:
 
 def verify_pairs_broadcast(pairs_ds, idx_ref, cfg: PipelineConfig,
                            concurrency=None):
-    if concurrency is None:
-        from nxsearch_ray.stages.shuffle import actor_pool_size
+    from nxsearch_ray.stages.shuffle import actor_pool_size, \
+        stage_num_cpus
 
+    if concurrency is None:
         concurrency = actor_pool_size(0.75)
     return pairs_ds.map_batches(
         VerifyBroadcastActor,
         fn_constructor_args=(idx_ref, cfg.to_json()),
         batch_format="pyarrow", batch_size=32768,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=concurrency, num_cpus=stage_num_cpus())
 
 
 def verify_pairs_bucketed(pairs_ds, sig_ds, cfg: PipelineConfig,
