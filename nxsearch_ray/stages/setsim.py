@@ -1,21 +1,38 @@
 """Exact n-gram Jaccard set-similarity join (distributed).
 
-The classic inverted-index similarity join (Vernica et al., SIGMOD
-2010 shape): explode every document's distinct word n-grams to
-(ngram_hash, page_id) rows, shuffle on the n-gram, emit co-occurrence
-pairs per group, then count distinct shared n-grams per pair with one
-more shuffle and compute J = c / (|A| + |B| - c).
+The classic inverted-index similarity join, implemented the way the
+literature actually scales it (Vernica et al., SIGMOD 2010; Bayardo et
+al., WWW 2007 prefix filter), with this engine's key-disjoint hash
+exchanges (stages/shuffle.py) instead of per-group Python:
 
-Unlike the MinHash path this is *exact* (no sketch error), at the cost
-of shuffling every n-gram occurrence — the right tool for small/medium
-corpora or as the verifier of sketch-based passes.  N-grams are built
-over raw whitespace words (NOT canonical tokens) so the DuckDB oracle
-can reproduce the result verbatim; see `__ray_entry__.oracle_sql`.
+  1. **df pass** — explode every document's distinct word n-grams to
+     (gram_hash, page_id, setsize) rows and hash-partition by gram;
+     each gram's rows land in one block, so its document frequency is
+     a run length.
+  2. **prefix pass** — re-partition by document; each document sorts
+     its grams by (df, gram) — the global total order — and keeps only
+     its *prefix* of length L - ceil(t·L) + 1.  Pair-prefix theorem:
+     any pair with Jaccard ≥ t must share a gram within both prefixes,
+     so indexing prefixes alone loses no answers, while boilerplate
+     grams (highest df) sort last and almost never enter a prefix —
+     this is the skew handling, no cap or chain heuristic needed.
+  3. **candidate pass** — partition prefix rows by gram, emit all
+     within-bucket pairs, prune with the length filter
+     (min(|A|,|B|) ≥ t·max(|A|,|B|)); duplicates across grams are
+     folded during the adjacency build.
+  4. **exact count pass** — build a CSR adjacency of the candidate
+     pairs in ONE remote task (broadcast via object store), rescan the
+     (still materialized) gram partitions: for each gram run, count
+     each candidate edge whose BOTH endpoints are present.  This is
+     the exact |A ∩ B| — co-emission counting over capped buckets
+     (the round-1 bug) is gone.
+  5. jaccard = c / (|A| + |B| - c), filter ≥ t.
 
-Hot n-grams (boilerplate) are capped by the same skew policy as LSH
-buckets (pairs_within chain) — for the *exact* count stage a capped
-bucket under-counts, so the cap only bounds candidate generation;
-pairs surviving to the count stage use all their n-grams.
+Exact — byte-equal to the DuckDB oracle (`__ray_entry__.oracle_sql`)
+— and every per-row loop is numpy over run boundaries.
+
+N-grams are built over raw whitespace words (NOT canonical tokens) so
+the SQL oracle can reproduce the result verbatim.
 """
 
 from __future__ import annotations
@@ -24,7 +41,7 @@ import numpy as np
 import pyarrow as pa
 
 from nxsearch_ray.functions.hashing import hash_strings
-from nxsearch_ray.stages.pairs import pairs_within
+from nxsearch_ray.stages.shuffle import hash_partitioned
 
 _WS_RE = None
 
@@ -47,7 +64,7 @@ def ngram_set(text: str, n: int) -> set[str]:
 
 def explode_ngrams(n: int, id_col: str = "page_id",
                    text_col: str = "text"):
-    """map_batches fn: docs → (bucket_key=ngram hash, page_id, n_grams)."""
+    """map_batches fn: docs → (bucket_key=ngram hash, page_id, setsize)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
@@ -69,52 +86,293 @@ def explode_ngrams(n: int, id_col: str = "page_id",
     return fn
 
 
+def _attach_df(t: pa.Table) -> pa.Table:
+    """Per-block (gram-disjoint) run lengths = exact global df."""
+    n = t.num_rows
+    if n == 0:
+        return t.append_column("df", pa.array([], type=pa.int64()))
+    keys = t.column("bucket_key").to_numpy()
+    order = np.argsort(keys, kind="stable")
+    t = t.take(pa.array(order, type=pa.int64()))
+    keys = keys[order]
+    change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    counts = np.diff(np.concatenate((starts, [n])))
+    run_id = np.cumsum(np.concatenate(
+        ([0], (keys[1:] != keys[:-1]).astype(np.int64))))
+    return t.append_column("df", pa.array(counts[run_id],
+                                          type=pa.int64()))
+
+
+def _prefix_fn(threshold: float):
+    def fn(t: pa.Table) -> pa.Table:
+        """Per-document prefix under the global (df, gram) order."""
+        n = t.num_rows
+        if n == 0:
+            return t.select(["bucket_key", "page_id", "setsize"])
+        pid = t.column("page_id").to_numpy()
+        gram = t.column("bucket_key").to_numpy()
+        df = t.column("df").to_numpy()
+        size = t.column("setsize").to_numpy()
+        order = np.lexsort((gram, df, pid))
+        pid, gram, df, size = (pid[order], gram[order], df[order],
+                               size[order])
+        change = np.nonzero(pid[1:] != pid[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((starts[1:], [n]))
+        lens = ends - starts
+        # prefix length p = L - ceil(t*L) + 1 (epsilon guards the
+        # float ceil; an over-long prefix is only ever a superset)
+        k = np.ceil(threshold * lens - 1e-9).astype(np.int64)
+        p = np.maximum(lens - k + 1, 0)
+        run_id = np.cumsum(np.concatenate(
+            ([0], (pid[1:] != pid[:-1]).astype(np.int64))))
+        offset_in_run = np.arange(n) - starts[run_id]
+        keep = offset_in_run < p[run_id]
+        return pa.Table.from_arrays(
+            [pa.array(gram[keep], type=pa.uint64()),
+             pa.array(pid[keep], type=pa.int64()),
+             pa.array(size[keep], type=pa.int64())],
+            names=["bucket_key", "page_id", "setsize"])
+
+    return fn
+
+
+def _cand_pairs(t: pa.Table) -> pa.Table:
+    """All within-bucket pairs of the prefix index (no cap: prefix
+    filtering already removed the hot grams)."""
+    n = t.num_rows
+    out_schema = pa.schema([
+        ("a", pa.int64()), ("b", pa.int64()),
+        ("size_a", pa.int64()), ("size_b", pa.int64())])
+    if n == 0:
+        return out_schema.empty_table()
+    keys = t.column("bucket_key").to_numpy()
+    pid = t.column("page_id").to_numpy()
+    size = t.column("setsize").to_numpy()
+    order = np.lexsort((pid, keys))
+    keys, pid, size = keys[order], pid[order], size[order]
+    change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    counts = np.diff(np.concatenate((starts, [n])))
+    a_out, b_out, sa_out, sb_out = [], [], [], []
+    two = starts[counts == 2]
+    if len(two):
+        a_out.append(pid[two])
+        b_out.append(pid[two + 1])
+        sa_out.append(size[two])
+        sb_out.append(size[two + 1])
+    for r in np.nonzero(counts >= 3)[0]:
+        s, c = starts[r], counts[r]
+        iu = np.triu_indices(c, k=1)
+        a_out.append(pid[s + iu[0]])
+        b_out.append(pid[s + iu[1]])
+        sa_out.append(size[s + iu[0]])
+        sb_out.append(size[s + iu[1]])
+    if not a_out:
+        return out_schema.empty_table()
+    a = np.concatenate(a_out)
+    b = np.concatenate(b_out)
+    sa = np.concatenate(sa_out)
+    sb = np.concatenate(sb_out)
+    return pa.Table.from_arrays(
+        [pa.array(a), pa.array(b), pa.array(sa), pa.array(sb)],
+        schema=out_schema)
+
+
+def _length_filter(threshold: float):
+    """J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|): prunes candidates
+    before the exact-count pass (Arasu et al.'s length filter)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        sa = t.column("size_a").to_numpy()
+        sb = t.column("size_b").to_numpy()
+        keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) \
+            - 1e-9
+        return t.filter(pa.array(keep))
+
+    return fn
+
+
+def build_pair_adjacency_ref(cand_ds):
+    """CSR adjacency + per-doc set sizes of the candidate pairs, built
+    in one remote task and broadcast by ObjectRef."""
+    import ray
+
+    refs = cand_ds.to_arrow_refs()
+
+    @ray.remote
+    def _build(*blocks):
+        # drop schema-less empty blocks (Ray emits them for empty
+        # UDF outputs) before the concat
+        blocks = [b for b in blocks if b.num_columns > 0]
+        if not blocks:
+            tbl = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("size_a", pa.int64()),
+                             ("size_b", pa.int64())]).empty_table()
+        else:
+            tbl = pa.concat_tables(blocks)
+        a = tbl.column("a").to_numpy()
+        b = tbl.column("b").to_numpy()
+        sa = tbl.column("size_a").to_numpy()
+        sb = tbl.column("size_b").to_numpy()
+        order = np.lexsort((b, a))
+        a, b, sa, sb = a[order], b[order], sa[order], sb[order]
+        # global dedup here (sees every candidate) — one fewer exchange
+        if len(a):
+            first = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            a, b, sa, sb = a[first], b[first], sa[first], sb[first]
+        nodes, starts_idx = np.unique(a, return_index=True)
+        offsets = np.concatenate((starts_idx, [len(a)])).astype(np.int64)
+        # id → setsize lookup (both endpoints)
+        ids = np.concatenate([a, b])
+        szs = np.concatenate([sa, sb])
+        uid, first = np.unique(ids, return_index=True)
+        return {"nodes": nodes, "offsets": offsets, "partners": b,
+                "size_ids": uid, "sizes": szs[first]}
+
+    return _build.remote(*refs)
+
+
+def _count_cooccurrence(adj_ref):
+    """map_batches fn over the gram-partitioned rows: one (a, b) hit
+    row per candidate edge fully inside a gram run."""
+    import ray
+
+    holder: dict = {}
+
+    def fn(t: pa.Table) -> pa.Table:
+        if "adj" not in holder:
+            holder["adj"] = ray.get(adj_ref)
+        adj = holder["adj"]
+        out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        n = t.num_rows
+        if n == 0 or len(adj["nodes"]) == 0:
+            return out_schema.empty_table()
+        keys = t.column("bucket_key").to_numpy()
+        pid = t.column("page_id").to_numpy()
+        order = np.lexsort((pid, keys))
+        keys, pid = keys[order], pid[order]
+        # drop df=1 gram runs first — they cannot host a co-occurrence
+        # and are the large majority of rows in web-scale vocabularies
+        starts0 = np.concatenate(
+            ([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1))
+        counts0 = np.diff(np.concatenate((starts0, [n])))
+        run0 = np.cumsum(np.concatenate(
+            ([0], (keys[1:] != keys[:-1]).astype(np.int64))))
+        multi = counts0[run0] >= 2
+        keys, pid = keys[multi], pid[multi]
+        n = len(keys)
+        if n == 0:
+            return out_schema.empty_table()
+        run_id = np.cumsum(np.concatenate(
+            ([0], (keys[1:] != keys[:-1]).astype(np.int64))))
+        nodes = adj["nodes"]
+        offsets = adj["offsets"]
+        partners = adj["partners"]
+        # edges incident (a-side) to each present row, fully vectorized
+        pos = np.clip(np.searchsorted(nodes, pid), 0, len(nodes) - 1)
+        present = nodes[pos] == pid
+        rows = np.nonzero(present)[0]
+        rp = pos[rows]
+        counts = offsets[rp + 1] - offsets[rp]
+        tot = int(counts.sum())
+        if tot == 0:
+            return out_schema.empty_table()
+        eidx = np.repeat(offsets[rp], counts) + (
+            np.arange(tot)
+            - np.repeat(np.cumsum(counts) - counts, counts))
+        pa_ = np.repeat(pid[rows], counts)
+        erun = np.repeat(run_id[rows], counts)
+        pb_ = partners[eidx]
+        # membership of the other endpoint in the SAME gram run via
+        # one searchsorted over packed (run_id, pid) keys — rows are
+        # lexsorted by (run, pid), so the packed keys are sorted
+        assert pid.max(initial=0) < (1 << 32), \
+            "packed-key co-occurrence assumes page_id < 2^32"
+        packed_rows = (run_id.astype(np.uint64) << np.uint64(32)) \
+            | pid.astype(np.uint64)
+        packed_q = (erun.astype(np.uint64) << np.uint64(32)) \
+            | pb_.astype(np.uint64)
+        qpos = np.clip(np.searchsorted(packed_rows, packed_q),
+                       0, n - 1)
+        hit = packed_rows[qpos] == packed_q
+        if not hit.any():
+            return out_schema.empty_table()
+        return pa.Table.from_arrays(
+            [pa.array(pa_[hit]), pa.array(pb_[hit])],
+            schema=out_schema)
+
+    return fn
+
+
 def ngram_jaccard_pairs(docs_ds, *, n: int = 3, threshold: float = 0.5,
                         id_col: str = "page_id", text_col: str = "text",
-                        bucket_cap: int = 4096):
+                        num_partitions: int | None = None):
     """Dataset of (a, b, n_common, size_a, size_b, jaccard) for all doc
-    pairs with word-n-gram Jaccard ≥ threshold."""
+    pairs with word-n-gram Jaccard ≥ threshold.  Exact (prefix-filter
+    candidates + exact intersection recount); see module docstring."""
+    import ray
+
     keyed = docs_ds.map_batches(explode_ngrams(n, id_col, text_col),
                                 batch_format="pyarrow")
+    gparts = hash_partitioned(keyed, ["bucket_key"],
+                              num_partitions).materialize()
 
-    def emit(group: pa.Table) -> pa.Table:
-        ids = group.column("page_id").to_numpy()
-        sizes = group.column("setsize").to_numpy()
-        size_of = dict(zip(ids.tolist(), sizes.tolist()))
-        a, b = pairs_within(ids, bucket_cap)
-        return pa.Table.from_arrays(
-            [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64()),
-             pa.array([size_of[x] for x in a.tolist()], type=pa.int64()),
-             pa.array([size_of[x] for x in b.tolist()], type=pa.int64())],
-            names=["a", "b", "size_a", "size_b"])
+    with_df = gparts.map_batches(_attach_df, batch_format="pyarrow",
+                                 batch_size=None)
+    prefix = hash_partitioned(with_df, ["page_id"], num_partitions) \
+        .map_batches(_prefix_fn(threshold), batch_format="pyarrow",
+                     batch_size=None)
+    cand = hash_partitioned(prefix, ["bucket_key"], num_partitions) \
+        .map_batches(_cand_pairs, batch_format="pyarrow",
+                     batch_size=None) \
+        .map_batches(_length_filter(threshold),
+                     batch_format="pyarrow")
+    # no dedup exchange: the adjacency builder sees every candidate
+    # block and dedups globally in one pass
+    adj_ref = build_pair_adjacency_ref(cand)
+    hits = gparts.map_batches(_count_cooccurrence(adj_ref),
+                              batch_format="pyarrow", batch_size=None)
 
-    co = keyed.groupby("bucket_key").map_groups(emit,
-                                                batch_format="pyarrow")
-
-    # One co-occurrence row per shared n-gram per pair, each carrying
-    # both (constant) set sizes → a single groupby computes the exact
-    # intersection count AND the Jaccard.
-    thr = threshold
     out_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("n_common", pa.int64()),
          ("size_a", pa.int64()), ("size_b", pa.int64()),
          ("jaccard", pa.float64())])
+    thr = threshold
 
-    def combine(g: pa.Table) -> pa.Table:
-        n_common = g.num_rows
-        size_a = g.column("size_a")[0].as_py()
-        size_b = g.column("size_b")[0].as_py()
-        denom = size_a + size_b - n_common
-        jac = (n_common / denom) if denom else 0.0
-        if jac < thr:
+    def finish(t: pa.Table) -> pa.Table:
+        n_ = t.num_rows
+        if n_ == 0:
             return out_schema.empty_table()
+        import ray as _ray
+
+        adj = _ray.get(adj_ref)
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.concatenate(
+            ([0], np.nonzero((a[1:] != a[:-1])
+                             | (b[1:] != b[:-1]))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [n_])))
+        ua, ub = a[starts], b[starts]
+        sz_pos_a = np.searchsorted(adj["size_ids"], ua)
+        sz_pos_b = np.searchsorted(adj["size_ids"], ub)
+        sa = adj["sizes"][sz_pos_a]
+        sb = adj["sizes"][sz_pos_b]
+        denom = sa + sb - counts
+        jac = np.where(denom > 0, counts / np.maximum(denom, 1), 0.0)
+        keep = jac >= thr
         return pa.Table.from_arrays(
-            [g.column("a").slice(0, 1), g.column("b").slice(0, 1),
-             pa.array([n_common], type=pa.int64()),
-             pa.array([size_a], type=pa.int64()),
-             pa.array([size_b], type=pa.int64()),
-             pa.array([jac], type=pa.float64())],
+            [pa.array(ua[keep]), pa.array(ub[keep]),
+             pa.array(counts[keep]), pa.array(sa[keep]),
+             pa.array(sb[keep]),
+             pa.array(jac[keep], type=pa.float64())],
             schema=out_schema)
 
-    return co.groupby(["a", "b"]).map_groups(combine,
-                                             batch_format="pyarrow")
+    return hash_partitioned(hits, ["a", "b"], num_partitions) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
