@@ -334,6 +334,62 @@ def q_bucket_census(sf_dir: str):
     return bucket_census(sigs, _CFG)
 
 
+# search operators run with filters=() so the DuckDB oracle can mirror
+# tokenization exactly (no stemmer/stopwords in ANSI SQL); the full
+# filter-chain path is pinned by tests/test_search.py against the
+# reference's own t_scoring.c goldens instead
+_SEARCH_CFG = PipelineConfig(filters=())
+_TERM_QUERY = "hash AND (join OR merge) AND NOT vector"
+_BM25_QUERY = "hash join merge"
+_BM25_LIMIT = 500
+# RE2-safe equivalent of functions/tokenizer._TOKEN_RE (lookaheads
+# rewritten as consuming alternatives)
+_SQL_TOKEN_RE = (r"[\pL\pN\pM\p{Pc}]+"
+                 r"(?:[''’.:·]\pL[\pL\pN\pM\p{Pc}]*"
+                 r"|[.,]\pN[\pL\pN\pM\p{Pc}]*)*")  # '' = SQL-escaped '
+_CANON_DOCS_CACHE: dict[str, Any] = {}
+
+
+def _canonical_docs(sf_dir: str):
+    import ray.data
+
+    from nxsearch_ray.stages.canonicalize import canonicalize_stage
+
+    if sf_dir not in _CANON_DOCS_CACHE:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text", "lang"])
+        _CANON_DOCS_CACHE[sf_dir] = canonicalize_stage(
+            ds, _SEARCH_CFG).materialize()
+    return _CANON_DOCS_CACHE[sf_dir]
+
+
+def q_term_search(sf_dir: str):
+    from nxsearch_ray.stages.search import term_search_docs
+
+    return term_search_docs(_canonical_docs(sf_dir), _TERM_QUERY,
+                            _SEARCH_CFG, id_col="doc_id")
+
+
+def q_bm25_topk(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from nxsearch_ray.stages.search import term_search
+
+    t = term_search(_canonical_docs(sf_dir), _BM25_QUERY, _SEARCH_CFG,
+                    algo="bm25", limit=_BM25_LIMIT, id_col="doc_id")
+    return t.set_column(1, "score", pc.round(t.column("score"), 4))
+
+
+def q_tfidf_topk(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from nxsearch_ray.stages.search import term_search
+
+    t = term_search(_canonical_docs(sf_dir), _BM25_QUERY, _SEARCH_CFG,
+                    algo="tfidf", limit=_BM25_LIMIT, id_col="doc_id")
+    return t.set_column(1, "score", pc.round(t.column("score"), 4))
+
+
 def q_embedding_dups_lsh(sf_dir: str):
     import ray.data
 
@@ -381,6 +437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "query_probe": q_query_probe,
         "bucket_census": q_bucket_census,
+        "term_search": q_term_search,
+        "bm25_topk": q_bm25_topk,
+        "tfidf_topk": q_tfidf_topk,
     }
 
 
@@ -429,6 +488,50 @@ WHERE n_common > 0
   AND n_common::DOUBLE / (size_a + size_b - n_common) >= 0.5
 """,
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "term_search": f"""
+WITH tok AS (SELECT doc_id,
+                    regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS ts
+             FROM documents)
+SELECT doc_id FROM tok
+WHERE list_contains(ts, 'hash')
+  AND (list_contains(ts, 'join') OR list_contains(ts, 'merge'))
+  AND NOT list_contains(ts, 'vector')
+""",
+        "bm25_topk": f"""
+WITH tok AS (SELECT doc_id,
+                    regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS ts
+             FROM documents),
+stats AS (SELECT count(*) AS n, sum(len(ts)) AS tt FROM tok),
+terms(term) AS (VALUES ('hash'), ('join'), ('merge')),
+m AS (SELECT doc_id, term,
+             len(list_filter(ts, x -> x = term)) AS tf, len(ts) AS dl
+      FROM tok CROSS JOIN terms WHERE list_contains(ts, term)),
+df AS (SELECT term, count(*) AS df FROM m GROUP BY term)
+SELECT m.doc_id,
+       round(sum((ln(tf + 1)
+                  / (ln(tf + 1)
+                     + 1.2 * (1 - 0.75 + 0.75 * dl / (tt // n))))
+                 * ln((n - df + 0.5) / (df + 0.5) + 1)), 4) AS score
+FROM m JOIN df USING (term) CROSS JOIN stats
+GROUP BY m.doc_id
+ORDER BY score DESC, m.doc_id LIMIT {_BM25_LIMIT}
+""",
+        "tfidf_topk": f"""
+WITH tok AS (SELECT doc_id,
+                    regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS ts
+             FROM documents),
+stats AS (SELECT count(*) AS n FROM tok),
+terms(term) AS (VALUES ('hash'), ('join'), ('merge')),
+m AS (SELECT doc_id, term,
+             len(list_filter(ts, x -> x = term)) AS tf
+      FROM tok CROSS JOIN terms WHERE list_contains(ts, term)),
+df AS (SELECT term, count(*) AS df FROM m GROUP BY term)
+SELECT m.doc_id,
+       round(sum(ln(tf + 1) * (ln(n / df) + 1)), 4) AS score
+FROM m JOIN df USING (term) CROSS JOIN stats
+GROUP BY m.doc_id
+ORDER BY score DESC, m.doc_id LIMIT {_BM25_LIMIT}
+""",
         "ann_topk": f"""
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
            FROM embeddings WHERE vec_id < {_ANN_NQ}),
