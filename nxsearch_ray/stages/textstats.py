@@ -127,30 +127,57 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 class LangIdActor:
-    """Marker-word voting + CJK charset check; compiled once per actor."""
+    """Marker-word voting + CJK charset check — fully vectorized:
+    Arrow kernels (utf8_lower, count_substring_regex, split, index_in)
+    plus one np.add.at vote scatter; no per-document Python.
+
+    Tie-break matches the original dict-max semantics (highest vote,
+    then lexicographically largest language code)."""
 
     def __init__(self):
-        import regex
+        import pyarrow.compute as pc  # noqa: F401 (warm import)
 
-        self.word_re = regex.compile(r"\S+")
-        self.cjk_re = regex.compile(r"[\p{Han}\p{Hiragana}\p{Katakana}]")
-        self.markers = {lang: frozenset(ws)
-                        for lang, ws in _LANG_MARKERS.items()}
+        # languages in DESCENDING code order so np.argmax's first-max
+        # picks the lexicographically largest code on vote ties
+        self.langs = sorted(_LANG_MARKERS, reverse=True)
+        vocab: list[str] = []
+        lang_of: list[int] = []
+        for i, lang in enumerate(self.langs):
+            for w in _LANG_MARKERS[lang]:
+                vocab.append(w)
+                lang_of.append(i)
+        self.vocab = pa.array(vocab, type=pa.string())
+        self.lang_of = np.asarray(lang_of, dtype=np.int64)
+        self.cjk_pat = r"[\p{Han}\p{Hiragana}\p{Katakana}]"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for text in batch.column("text").to_pylist():
-            text = text or ""
-            if self.cjk_re.search(text):
-                preds.append("zh")
-                continue
-            words = self.word_re.findall(text.lower())
-            votes = {lang: sum(w in ms for w in words)
-                     for lang, ms in self.markers.items()}
-            best = max(votes, key=lambda k: (votes[k], k))
-            preds.append(best if votes[best] > 0 else "und")
-        return batch.append_column("lang_pred",
-                                   pa.array(preds, type=pa.string()))
+        import pyarrow.compute as pc
+
+        texts = pc.fill_null(batch.column("text"), "")
+        ndocs = len(texts)
+        cjk = pc.greater(
+            pc.count_substring_regex(texts, self.cjk_pat), 0) \
+            .to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        off = words.offsets.to_numpy().astype(np.int64)
+        counts = off[1:] - off[:-1]
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+        midx = pc.fill_null(pc.index_in(flat, value_set=self.vocab),
+                            -1).to_numpy(zero_copy_only=False)
+        hit = midx >= 0
+        votes = np.zeros((ndocs, len(self.langs)), dtype=np.int64)
+        np.add.at(votes, (doc_of[hit], self.lang_of[midx[hit]]), 1)
+        best = np.argmax(votes, axis=1)
+        best_votes = votes[np.arange(ndocs), best]
+        lang_arr = np.array(self.langs, dtype=object)
+        preds = np.where(cjk, "zh",
+                         np.where(best_votes > 0, lang_arr[best],
+                                  "und"))
+        return batch.append_column(
+            "lang_pred", pa.array(preds.tolist(), type=pa.string()))
 
 
 # ------------------------------------------------------------------

@@ -185,6 +185,43 @@ def test_embedding_dup_exact(ray_session):
     assert (0, 49) in {(r["a"], r["b"]) for r in got.to_pylist()}
 
 
+def test_embedding_dups_lsh_recall(ray_session):
+    """Recall gate (VERDICT r01 #4): the multiprobe/multi-table LSH
+    plan must find ≥0.9 of the exact plan's pairs on the sandbox
+    embeddings table."""
+    import ray.data as rd
+
+    from nxsearch_ray.stages.ann import embedding_dup_pairs
+    from nxsearch_ray.stages.signatures import list_column_numpy
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    flat, off = list_column_numpy(t.column("embedding"),
+                                  dtype=np.float64)
+    mat = flat.reshape(t.num_rows, -1)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    thr = 0.45
+    ii, jj = np.nonzero(np.triu(sims >= thr, k=1))
+    ids = t.column("vec_id").to_numpy()
+    exact = {(int(ids[i]), int(ids[j])) if ids[i] < ids[j]
+             else (int(ids[j]), int(ids[i])) for i, j in zip(ii, jj)}
+
+    out = embedding_dup_pairs(rd.from_arrow(t), threshold=thr,
+                              nbits=8, ntables=8, nprobes=3)
+    got = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=1 << 16,
+                                    batch_format="pyarrow")
+        if b.num_columns > 0)
+    found = set(zip(got.column("a").to_pylist(),
+                    got.column("b").to_pylist()))
+    assert found <= exact          # exact cosine verify: no false pairs
+    if exact:
+        assert len(found & exact) / len(exact) >= 0.9
+
+
 # ---------------------------------------------------------- text stats
 
 def test_doc_stats_values():
