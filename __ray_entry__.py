@@ -390,6 +390,33 @@ def q_tfidf_topk(sf_dir: str):
     return t.set_column(1, "score", pc.round(t.column("score"), 4))
 
 
+_FUZZY_PROBES = ("hashh", "jion", "mege", "custmer", "zzzqqq")
+
+
+def q_fuzzy_lookup(sf_dir: str):
+    """Fuzzy term lookup (idxterm_fuzzysearch semantics) over the
+    documents vocabulary: tolerance 2, exact hit wins, else most
+    frequent term, tie → smallest term."""
+    import ray.data
+
+    from nxsearch_ray.stages.canonicalize import canonicalize_stage
+    from nxsearch_ray.stages.fuzzy import (
+        build_vocab_index_ref,
+        fuzzy_lookup,
+        vocabulary,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    canonical = canonicalize_stage(ds, _SEARCH_CFG,
+                                   include_tokens=True).materialize()
+    vref = build_vocab_index_ref(vocabulary(canonical))
+    probes = ray.data.from_arrow(pa.table(
+        {"word": list(_FUZZY_PROBES)}))
+    out = fuzzy_lookup(probes, vref, concurrency=(1, 2))
+    return out.select_columns(["word", "matched_term", "distance"])
+
+
 def q_embedding_dups_lsh(sf_dir: str):
     import ray.data
 
@@ -444,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_search": q_term_search,
         "bm25_topk": q_bm25_topk,
         "tfidf_topk": q_tfidf_topk,
+        "fuzzy_lookup": q_fuzzy_lookup,
     }
 
 
@@ -543,6 +571,25 @@ SELECT m.doc_id,
 FROM m JOIN df USING (term) CROSS JOIN stats
 GROUP BY m.doc_id
 ORDER BY score DESC, m.doc_id LIMIT {_BM25_LIMIT}
+""",
+        "fuzzy_lookup": f"""
+WITH tok AS (SELECT unnest(regexp_extract_all(
+                 text, '{_SQL_TOKEN_RE}')) AS term FROM documents),
+vocab AS (SELECT term, count(*) AS total FROM tok GROUP BY term),
+probes(word) AS (VALUES {", ".join(f"('{p}')" for p in _FUZZY_PROBES)}),
+cand AS (SELECT p.word, v.term, v.total,
+                levenshtein(p.word, v.term) AS d
+         FROM probes p JOIN vocab v
+           ON levenshtein(p.word, v.term) <= 2),
+best AS (SELECT word, term, d,
+                row_number() OVER (PARTITION BY word
+                    ORDER BY (d = 0) DESC, total DESC, term ASC) AS rn
+         FROM cand)
+SELECT p.word,
+       b.term AS matched_term,
+       coalesce(b.d, -1)::INTEGER AS distance
+FROM probes p
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (word)
 """,
         "tfidf_topk": f"""
 WITH tok AS (SELECT doc_id,

@@ -275,10 +275,25 @@ def corpus_stats(canonical_ds) -> tuple[int, int]:
     return n, tok
 
 
+_FUZZY_RESOLVERS: dict = {}
+
+
+def _fuzzy_resolver(vocab_ref):
+    """Driver-side cached BK-tree resolver for query-term fuzzy match
+    (one tree per vocabulary ref)."""
+    key = str(vocab_ref)
+    if key not in _FUZZY_RESOLVERS:
+        from nxsearch_ray.stages.fuzzy import FuzzyLookupActor
+
+        _FUZZY_RESOLVERS[key] = FuzzyLookupActor(vocab_ref)
+    return _FUZZY_RESOLVERS[key]
+
+
 def term_search(canonical_ds, query: str, cfg: PipelineConfig, *,
                 algo: str = "bm25", limit: int = DEFAULT_LIMIT,
                 id_col: str = "page_id",
-                stats: tuple[int, int] | None = None) -> pa.Table:
+                stats: tuple[int, int] | None = None,
+                fuzzy_vocab_ref=None) -> pa.Table:
     """Search the canonical token table; returns (id_col, score)
     sorted by score desc, id asc, capped at ``limit``.
 
@@ -293,6 +308,16 @@ def term_search(canonical_ds, query: str, cfg: PipelineConfig, *,
     ast = parse_query(query)
     raw_terms = ast_terms(ast)
     canon = canonical_query_terms(raw_terms, cfg)
+    if fuzzy_vocab_ref is not None:
+        # reference TOKENSET_FUZZYMATCH semantics (search.c:86,
+        # query_prepare): a query token with no exact vocabulary match
+        # resolves to its most frequent ≤2-edit neighbor
+        resolver = _fuzzy_resolver(fuzzy_vocab_ref)
+        for raw, tok in list(canon.items()):
+            if tok is not None and tok not in resolver._pos:
+                m, _d = resolver.resolve(tok)
+                if m is not None:
+                    canon[raw] = m
     toks = sorted({t for t in canon.values() if t is not None})
     empty = pa.schema([(id_col, pa.int64()),
                        ("score", pa.float64())]).empty_table()
