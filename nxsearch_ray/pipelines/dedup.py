@@ -274,6 +274,67 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
                        stats=stats)
 
 
+def run_dedup_incremental(pages_ds, cfg: PipelineConfig | None = None,
+                          *, out_dir: str, **run_kw) -> DedupResult:
+    """Append-only ingest — the batch analogue of the reference's
+    offset-replay sync (src/index/terms.c:320-344): pages already in
+    the ``signatures`` checkpoint are skipped via a broadcast
+    anti-join on page_id, only NEW pages run the extract→canonicalize→
+    signature actor stage (the dominant per-document compute), the
+    combined signature table replaces the checkpoint, and the
+    pair/verify/CC stages re-run over it.
+
+    Exactly equal to a full recompute: candidate generation, scoring
+    and clustering are pure functions of the signature SET, and the
+    signature rows for old pages are byte-identical to what a full run
+    would recompute.  (Re-running the shuffle stages is the price of
+    exactness — reusing prior pairs is unsound under the hot-bucket
+    chain policy, where a new member changes which pairs a bucket
+    emits.)
+
+    The known-id set is ray.put as one sorted int64 array (8 B/doc);
+    beyond single-node memory, swap the anti-join for the bucketed
+    pair_join on page_id."""
+    import shutil
+
+    import numpy as np
+    import ray
+
+    cfg = cfg or PipelineConfig()
+    if not is_complete(out_dir, "signatures", cfg):
+        # nothing to resume from — plain full run
+        return run_dedup(pages_ds, cfg, out_dir=out_dir, **run_kw)
+
+    prior = load_stage(out_dir, "signatures")
+    id_chunks = [b.column("page_id").to_numpy()
+                 for b in prior.select_columns(["page_id"])
+                 .iter_batches(batch_size=1 << 20,
+                               batch_format="pyarrow")]
+    known = np.unique(np.concatenate(id_chunks)) if id_chunks \
+        else np.empty(0, np.int64)
+
+    from nxsearch_ray.stages.join import anti_join
+
+    new_pages = anti_join(pages_ds, "page_id", known)
+    new_sigs = canonsig_stage(new_pages, cfg)
+    combined = pin_blocks(prior.union(new_sigs))
+    n_total = combined.count()
+
+    # overwrite the signatures checkpoint (combined is pinned in the
+    # object store, so clearing the directory first is safe), and
+    # drop the now-stale downstream checkpoints
+    from nxsearch_ray.state.lineage import stage_dir, write_stage
+
+    for stage in ("verified_pairs", "clusters"):
+        shutil.rmtree(stage_dir(out_dir, stage), ignore_errors=True)
+    write_stage(combined, out_dir, "signatures", cfg)
+
+    result = run_dedup(pages_ds, cfg, out_dir=out_dir, **run_kw)
+    result.stats["incremental_known_pages"] = int(len(known))
+    result.stats["incremental_new_pages"] = int(n_total - len(known))
+    return result
+
+
 def clusters_as_table(result: DedupResult) -> pa.Table:
     import numpy as np
 

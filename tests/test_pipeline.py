@@ -134,3 +134,39 @@ def test_partial_resume_from_mid_stage(ray_session, corpus_dir, oracle,
     assert not r.stats["verified_pairs_resumed"]
     assert _cluster_dict(r) == labels
     shutil.rmtree(out, ignore_errors=True)
+
+def test_incremental_ingest(ray_session, corpus, corpus_dir, oracle,
+                            tmp_path):
+    """Append-only ingest (reference offset-replay analogue): run on a
+    subset, append the rest via run_dedup_incremental, output must be
+    IDENTICAL to the full recompute — and only the appended pages may
+    go through the signature stage."""
+    import ray.data as rd
+
+    from nxsearch_ray.pipelines.dedup import run_dedup_incremental
+
+    labels, opairs = oracle
+    out = str(tmp_path / "inc")
+    cfg = PipelineConfig()
+
+    # prior run over ~70% of the pages (prefix by page_id order)
+    n = corpus.num_rows
+    cut = int(n * 0.7)
+    ids = sorted(corpus.column("page_id").to_pylist())
+    subset_ids = set(ids[:cut])
+    sub = corpus.filter(pa.array(
+        [pid in subset_ids
+         for pid in corpus.column("page_id").to_pylist()]))
+    run_dedup(rd.from_arrow(sub).map_batches(
+        lambda t: t.select(["page_id", "url", "warc_ts", "html",
+                            "lang"]), batch_format="pyarrow"),
+        cfg, out_dir=out)
+
+    # incremental over the FULL corpus
+    res = run_dedup_incremental(_pages_ds(corpus_dir), cfg,
+                                out_dir=out)
+    assert res.stats["incremental_known_pages"] == cut
+    assert res.stats["incremental_new_pages"] == n - cut
+    assert _cluster_dict(res) == labels
+    assert _pair_set(res) == opairs
+    shutil.rmtree(out, ignore_errors=True)
