@@ -390,6 +390,20 @@ def q_tfidf_topk(sf_dir: str):
     return t.set_column(1, "score", pc.round(t.column("score"), 4))
 
 
+def q_topk_events(sf_dir: str):
+    """Generic per-group top-k (the reference's capped results heap,
+    src/algo/heap.c): top-5 events by value per event_type."""
+    import ray.data
+
+    from nxsearch_ray.stages.topk import topk_per_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type",
+                                        "value"])
+    return topk_per_group(ds, group_col="event_type",
+                          order_col="value", tie_col="event_id", k=5)
+
+
 _FUZZY_PROBES = ("hashh", "jion", "mege", "custmer", "zzzqqq")
 
 
@@ -472,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "tfidf_topk": q_tfidf_topk,
         "fuzzy_lookup": q_fuzzy_lookup,
+        "topk_events": q_topk_events,
     }
 
 
@@ -571,6 +586,11 @@ SELECT m.doc_id,
 FROM m JOIN df USING (term) CROSS JOIN stats
 GROUP BY m.doc_id
 ORDER BY score DESC, m.doc_id LIMIT {_BM25_LIMIT}
+""",
+        "topk_events": """
+SELECT event_id, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY value DESC, event_id ASC) <= 5
 """,
         "fuzzy_lookup": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(

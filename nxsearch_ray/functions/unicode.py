@@ -28,29 +28,52 @@ _DEFAULT_IGNORABLE = regex.compile(r"\p{Default_Ignorable_Code_Point}+")
 # Nonspacing marks, removed by the diacritics transliteration rule.
 _NONSPACING_MARK = regex.compile(r"\p{Mn}+")
 
-# Minimal Latin-ASCII transliteration table for characters that survive
-# "NFKD; [:Nonspacing Mark:] Remove" (i.e. have no decomposition).  The ICU
-# Latin-ASCII transform is much larger; this covers the Latin letters that
-# appear in real web text.  Fixtures (t_utf8.c run_diacritic_test) cover the
-# accented-Latin path, which NFKD handles before this table is consulted.
+# Latin-ASCII transliteration table for characters that survive
+# "NFKD; [:Nonspacing Mark:] Remove" (i.e. have no decomposition),
+# transcribed from the published CLDR Latin-ASCII transform rules
+# (common/transforms/Latin-ASCII.xml — the data ICU compiles for this
+# rule).  Decomposable accented Latin never reaches this table: NFKD +
+# mark-removal folds it first (t_utf8.c run_diacritic_test fixtures).
+# The full CLDR file also covers rare phonetic letters; characters not
+# listed here pass through unchanged, matching a partial rule set.
 _LATIN_ASCII = {
+    # sharp s / ligature vowels
     "ß": "ss", "ẞ": "SS",
     "æ": "ae", "Æ": "AE",
     "œ": "oe", "Œ": "OE",
+    # stroked / barred / crossed letters
     "ø": "o", "Ø": "O",
     "đ": "d", "Đ": "D",
     "ð": "d", "Ð": "D",
     "þ": "th", "Þ": "TH",
     "ł": "l", "Ł": "L",
     "ħ": "h", "Ħ": "H",
-    "ı": "i", "ŋ": "ng", "Ŋ": "NG",
-    "ĸ": "k",
+    "ŧ": "t", "Ŧ": "T",
+    "ƚ": "l", "Ƚ": "L",
+    "ƶ": "z", "Ƶ": "Z",
+    "ǥ": "g", "Ǥ": "G",
+    "ɨ": "i", "Ɨ": "I",
+    "ɇ": "e", "Ɇ": "E",
+    "ɍ": "r", "Ɍ": "R",
+    "ɏ": "y", "Ɏ": "Y",
+    "ʉ": "u", "Ʉ": "U",
+    "ƀ": "b", "Ƀ": "B",
+    "ƒ": "f", "Ƒ": "F",
+    # dotless / special forms
+    "ı": "i", "ȷ": "j",
+    "ŋ": "ng", "Ŋ": "NG",
+    "ĸ": "q",            # kra → q (CLDR; Greenlandic orthography)
     "ſ": "s",
-    "’": "'", "‘": "'", "‚": "'",
-    "“": '"', "”": '"', "„": '"',
-    "–": "-", "—": "-", "‐": "-", "‑": "-",
+    # quotes / primes
+    "’": "'", "‘": "'", "‚": "'", "‛": "'", "′": "'",
+    "“": '"', "”": '"', "„": '"', "‟": '"', "″": '"',
+    # guillemets (CLDR maps to angle pairs, not double quotes)
+    "«": "<<", "»": ">>", "‹": "<", "›": ">",
+    # dashes / minus
+    "–": "-", "—": "-", "‐": "-", "‑": "-", "‒": "-", "―": "-",
+    "−": "-",
     "…": "...",
-    "«": '"', "»": '"',
+    "×": "x",
 }
 _LATIN_ASCII_RE = regex.compile("[" + "".join(map(regex.escape, _LATIN_ASCII)) + "]")
 
