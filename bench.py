@@ -91,6 +91,18 @@ def run_benchmarks() -> dict:
                   for f in os.listdir(corpus) if f.endswith(".parquet"))
     docs_per_sec = n_pages / sec
 
+    # ---- flagship again on the FORCED 10^12-doc physical plans
+    # (bucketed pair-payload join verify + label-propagation CC) so the
+    # scale path's own wall time is on record, not just the auto plan's
+    def flagship_scalepath():
+        ds = rd.read_parquet(
+            corpus, columns=["page_id", "url", "warc_ts", "html", "lang"])
+        return clusters_as_table(run_dedup(
+            ds, cfg, verify_mode="bucketed", cc_mode="labelprop"))
+
+    sec_sp, _ = _timed(flagship_scalepath)
+    queries["dedup_synth_scalepath"] = round(sec_sp, 3)
+
     # ---- flagship over the sf tables' derived pages
     def dedup_sf():
         return clusters_as_table(run_dedup(pages_dataset(SF_DIR), cfg))
@@ -103,7 +115,8 @@ def run_benchmarks() -> dict:
 
     qs = entry.queries()
     for name in ("extract_text", "exact_dedup", "doc_stats",
-                 "ngram_jaccard", "ann_topk"):
+                 "ngram_jaccard", "ann_topk", "bm25_topk",
+                 "topk_events"):
         def runq(name=name):
             out = qs[name](SF_DIR)
             if hasattr(out, "materialize"):
