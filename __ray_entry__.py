@@ -231,15 +231,17 @@ def q_dedup_pairs(sf_dir: str):
 
 
 def q_cluster_sizes(sf_dir: str):
-    from nxsearch_ray.pipelines.dedup import clusters_as_table
-
+    """20 largest clusters — vectorized Arrow aggregation (the table
+    is one small block; no pandas round-trip)."""
     t = q_dedup_clusters(sf_dir)
-    import pandas as pd
-
-    df = t.to_pandas().groupby("cluster_id").size() \
-        .reset_index(name="size").sort_values(
-            ["size", "cluster_id"], ascending=[False, True]).head(20)
-    return df.reset_index(drop=True)
+    counts = t.column("cluster_id").value_counts()
+    cid = counts.field("values").to_numpy()
+    size = counts.field("counts").to_numpy()
+    order = np.lexsort((cid, -size))[:20]
+    return pa.Table.from_arrays(
+        [pa.array(cid[order], type=pa.int64()),
+         pa.array(size[order], type=pa.int64())],
+        names=["cluster_id", "size"])
 
 
 def q_signatures(sf_dir: str):
