@@ -263,6 +263,20 @@ def q_canonicalize(sf_dir: str):
     return canon.select_columns(["page_id", "doc_len", "n_unique"])
 
 
+def q_canonicalize_plain(sf_dir: str):
+    """Tokenizer-only canonicalization (filters=()) over documents —
+    the SQL-mirrorable slice of the canonical stage: per-doc token
+    count and distinct-token count."""
+    return _canonical_docs(sf_dir).select_columns(
+        ["doc_id", "doc_len", "n_unique"]).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("doc_id"),
+             t.column("doc_len").cast(pa.int64()),
+             t.column("n_unique").cast(pa.int64())],
+            names=["doc_id", "doc_len", "n_unique"]),
+        batch_format="pyarrow")
+
+
 def q_langid(sf_dir: str):
     import ray.data
 
@@ -478,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_sizes": q_cluster_sizes,
         "signatures": q_signatures,
         "canonicalize": q_canonicalize,
+        "canonicalize_plain": q_canonicalize_plain,
         "langid": q_langid,
         "image_features": q_image_features,
         "embedding_dups": q_embedding_dups,
@@ -588,6 +603,13 @@ SELECT m.doc_id,
 FROM m JOIN df USING (term) CROSS JOIN stats
 GROUP BY m.doc_id
 ORDER BY score DESC, m.doc_id LIMIT {_BM25_LIMIT}
+""",
+        "canonicalize_plain": f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_SQL_TOKEN_RE}')) AS doc_len,
+       len(list_distinct(
+           regexp_extract_all(text, '{_SQL_TOKEN_RE}'))) AS n_unique
+FROM documents
 """,
         "topk_events": """
 SELECT event_id, event_type, value FROM events
