@@ -83,12 +83,21 @@ def exact_adjudicate(ta: np.ndarray, tb: np.ndarray, cfg: PipelineConfig
                      ) -> tuple[int, float, float]:
     """(lcs_len, containment, exact_jaccard) for one token-id pair —
     the single exact-decision kernel shared by the broadcast stage, the
-    bucketed stage and the oracle."""
+    bucketed stage and the oracle.
+
+    The exact shingle Jaccard (vectorized numpy) runs first; when it
+    already crosses the keep threshold the pure-Python suffix-automaton
+    LCS — the per-pair cost ceiling of this stage — is skipped and
+    (lcs, containment) are reported as (-1, 0.0) sentinels.  The KEEP
+    decision (containment ≥ thr OR jaccard ≥ thr) is unchanged."""
     m = min(len(ta), len(tb))
     if m == 0:
         return 0, 0.0, 0.0
+    jac = exact_shingle_jaccard(ta, tb, cfg.shingle_k)
+    if jac >= cfg.jaccard_threshold:
+        return -1, 0.0, jac
     lcs = lcs_tokens(ta.tolist(), tb.tolist())
-    return lcs, lcs / m, exact_shingle_jaccard(ta, tb, cfg.shingle_k)
+    return lcs, lcs / m, jac
 
 
 def exact_shingle_jaccard(ta: np.ndarray, tb: np.ndarray,
