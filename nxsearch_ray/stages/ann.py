@@ -128,17 +128,26 @@ def make_planes(dim: int, nbits: int, seed: int) -> np.ndarray:
 
 def lsh_topk(emb_ds, queries_ref, k: int, *, nbits: int = 12,
              seed: int = 42, id_col: str = "vec_id",
-             emb_col: str = "embedding", concurrency=(1, 8)):
-    """Approximate top-k: corpus rows keep only the bucket matching
-    some query's signature, then brute-force within the survivors."""
+             emb_col: str = "embedding", nprobes: int | None = None,
+             concurrency=(1, 8)):
+    """Approximate top-k: corpus rows keep only buckets matching some
+    query signature OR one of its multiprobe variants (all single-bit
+    flips by default — queries are few, so expanding the query-side
+    signature set costs nq·(1+nbits) uint64s and buys the recall that
+    an exact-bucket match loses), then brute-force the survivors."""
     import ray
 
     q = ray.get(queries_ref)
     qmat = _normalize(np.asarray(q["vectors"], dtype=np.float64))
     planes = make_planes(qmat.shape[1], nbits, seed)
-    # tiny (≤ nq uint64s): captured by the closure, shipped once with
-    # the serialized fn — no per-batch ray.get
-    q_sigs = np.unique(hyperplane_signs(qmat, planes))
+    base = hyperplane_signs(qmat, planes)
+    nprobes = nbits if nprobes is None else min(nprobes, nbits)
+    sigs = [base]
+    for j in range(nprobes):
+        sigs.append(base ^ (np.uint64(1) << np.uint64(j)))
+    # tiny: captured by the closure, shipped once with the serialized
+    # fn — no per-batch ray.get
+    q_sigs = np.unique(np.concatenate(sigs))
 
     def bucket_filter(batch: pa.Table) -> pa.Table:
         sigs = hyperplane_signs(
