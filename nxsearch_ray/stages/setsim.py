@@ -2,34 +2,50 @@
 
 The classic inverted-index similarity join, implemented the way the
 literature actually scales it (Vernica et al., SIGMOD 2010; Bayardo et
-al., WWW 2007 prefix filter), with this engine's key-disjoint hash
-exchanges (stages/shuffle.py) instead of per-group Python:
+al., WWW 2007 prefix filter; Xiao et al., WWW 2008 positional filter),
+with this engine's key-disjoint hash exchanges (stages/shuffle.py)
+instead of per-group Python:
 
   1. **df pass** — explode every document's distinct word n-grams to
      (gram_hash, page_id, setsize) rows and hash-partition by gram;
      each gram's rows land in one block, so its document frequency is
-     a run length.
+     a run length.  The df column and the (gram, page) sort order are
+     attached to the materialized partition blocks once, and both
+     later passes (prefix source, exact count) reuse them.
   2. **prefix pass** — re-partition by document; each document sorts
      its grams by (df, gram) — the global total order — and keeps only
-     its *prefix* of length L - ceil(t·L) + 1.  Pair-prefix theorem:
-     any pair with Jaccard ≥ t must share a gram within both prefixes,
-     so indexing prefixes alone loses no answers, while boilerplate
+     its *prefix* of length L - ceil(t·L) + 1 together with each
+     gram's position in that order.  Pair-prefix theorem: any pair
+     with Jaccard ≥ t must share a gram within both prefixes, so
+     indexing prefixes alone loses no answers, while boilerplate
      grams (highest df) sort last and almost never enter a prefix —
      this is the skew handling, no cap or chain heuristic needed.
   3. **candidate pass** — partition prefix rows by gram, emit all
      within-bucket pairs, prune with the length filter
-     (min(|A|,|B|) ≥ t·max(|A|,|B|)); duplicates across grams are
-     folded during the adjacency build.
+     (min(|A|,|B|) ≥ t·max(|A|,|B|)) and the PPJoin positional
+     filter: a shared gram at positions (pa, pb) bounds the overlap
+     by 1 + min(pa, pb) + min(|A|-pa-1, |B|-pb-1), which must reach
+     the required overlap α = ⌈t/(1+t)·(|A|+|B|)⌉; duplicates across
+     grams are folded during the adjacency build.
   4. **exact count pass** — build a CSR adjacency of the candidate
      pairs in ONE remote task (broadcast via object store), rescan the
      (still materialized) gram partitions: for each gram run, count
-     each candidate edge whose BOTH endpoints are present.  This is
-     the exact |A ∩ B| — co-emission counting over capped buckets
-     (the round-1 bug) is gone.
-  5. jaccard = c / (|A| + |B| - c), filter ≥ t.
+     each candidate edge whose BOTH endpoints are present, and emit
+     per-block PARTIAL (a, b, cnt) rows.  This is the exact |A ∩ B| —
+     gram runs are disjoint across partitions, so partial counts sum.
+  5. **finish** — one remote task sums the partials (bounded by the
+     candidate-pair count, the same broadcast budget the adjacency
+     already commits to), computes jaccard = c / (|A| + |B| - c) and
+     filters ≥ t.  No final exchange.
 
 Exact — byte-equal to the DuckDB oracle (`__ray_entry__.oracle_sql`)
 — and every per-row loop is numpy over run boundaries.
+
+Partitioning assumptions, stated: (a) a gram partition block is not
+split mid-run (blocks stay under the target block size — raise
+``num_partitions`` with corpus size); (b) the deduplicated candidate
+set fits one task's heap (it is prefix+positional filtered; shard the
+adjacency by a-range if a corpus ever breaks this).
 
 N-grams are built over raw whitespace words (NOT canonical tokens) so
 the SQL oracle can reproduce the result verbatim.
@@ -72,7 +88,7 @@ def explode_ngrams(n: int, id_col: str = "page_id",
         all_grams: list[str] = []
         counts = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            grams = sorted(ngram_set(t, n))
+            grams = ngram_set(t, n)
             all_grams.extend(grams)
             counts[i] = len(grams)
         gh = hash_strings(all_grams) if all_grams else \
@@ -87,12 +103,15 @@ def explode_ngrams(n: int, id_col: str = "page_id",
 
 
 def _attach_df(t: pa.Table) -> pa.Table:
-    """Per-block (gram-disjoint) run lengths = exact global df."""
+    """Per-block (gram-disjoint) run lengths = exact global df.  The
+    output is lexsorted by (bucket_key, page_id) so the exact-count
+    pass can reuse the order without re-sorting."""
     n = t.num_rows
     if n == 0:
         return t.append_column("df", pa.array([], type=pa.int64()))
     keys = t.column("bucket_key").to_numpy()
-    order = np.argsort(keys, kind="stable")
+    pid = t.column("page_id").to_numpy()
+    order = np.lexsort((pid, keys))
     t = t.take(pa.array(order, type=pa.int64()))
     keys = keys[order]
     change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
@@ -106,10 +125,16 @@ def _attach_df(t: pa.Table) -> pa.Table:
 
 def _prefix_fn(threshold: float):
     def fn(t: pa.Table) -> pa.Table:
-        """Per-document prefix under the global (df, gram) order."""
+        """Per-document prefix under the global (df, gram) order, with
+        each kept gram's position in that order (positional filter)."""
+        out_names = ["bucket_key", "page_id", "setsize", "pos"]
         n = t.num_rows
         if n == 0:
-            return t.select(["bucket_key", "page_id", "setsize"])
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.uint64()),
+                 pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.int64())], names=out_names)
         pid = t.column("page_id").to_numpy()
         gram = t.column("bucket_key").to_numpy()
         df = t.column("df").to_numpy()
@@ -132,66 +157,72 @@ def _prefix_fn(threshold: float):
         return pa.Table.from_arrays(
             [pa.array(gram[keep], type=pa.uint64()),
              pa.array(pid[keep], type=pa.int64()),
-             pa.array(size[keep], type=pa.int64())],
-            names=["bucket_key", "page_id", "setsize"])
+             pa.array(size[keep], type=pa.int64()),
+             pa.array(offset_in_run[keep], type=pa.int64())],
+            names=out_names)
 
     return fn
 
 
-def _cand_pairs(t: pa.Table) -> pa.Table:
-    """All within-bucket pairs of the prefix index (no cap: prefix
-    filtering already removed the hot grams)."""
-    n = t.num_rows
+def _cand_pairs(threshold: float):
+    """All within-bucket pairs of the prefix index, pruned by the
+    length filter and the PPJoin positional filter (module docstring
+    step 3).  Both filters are per-occurrence upper bounds, so a pair
+    survives iff ANY of its shared prefix grams passes — duplicates
+    fold in the adjacency build."""
+
     out_schema = pa.schema([
         ("a", pa.int64()), ("b", pa.int64()),
         ("size_a", pa.int64()), ("size_b", pa.int64())])
-    if n == 0:
-        return out_schema.empty_table()
-    keys = t.column("bucket_key").to_numpy()
-    pid = t.column("page_id").to_numpy()
-    size = t.column("setsize").to_numpy()
-    order = np.lexsort((pid, keys))
-    keys, pid, size = keys[order], pid[order], size[order]
-    change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
-    starts = np.concatenate(([0], change))
-    counts = np.diff(np.concatenate((starts, [n])))
-    a_out, b_out, sa_out, sb_out = [], [], [], []
-    two = starts[counts == 2]
-    if len(two):
-        a_out.append(pid[two])
-        b_out.append(pid[two + 1])
-        sa_out.append(size[two])
-        sb_out.append(size[two + 1])
-    for r in np.nonzero(counts >= 3)[0]:
-        s, c = starts[r], counts[r]
-        iu = np.triu_indices(c, k=1)
-        a_out.append(pid[s + iu[0]])
-        b_out.append(pid[s + iu[1]])
-        sa_out.append(size[s + iu[0]])
-        sb_out.append(size[s + iu[1]])
-    if not a_out:
-        return out_schema.empty_table()
-    a = np.concatenate(a_out)
-    b = np.concatenate(b_out)
-    sa = np.concatenate(sa_out)
-    sb = np.concatenate(sb_out)
-    return pa.Table.from_arrays(
-        [pa.array(a), pa.array(b), pa.array(sa), pa.array(sb)],
-        schema=out_schema)
-
-
-def _length_filter(threshold: float):
-    """J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|): prunes candidates
-    before the exact-count pass (Arasu et al.'s length filter)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        sa = t.column("size_a").to_numpy()
-        sb = t.column("size_b").to_numpy()
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        keys = t.column("bucket_key").to_numpy()
+        pid = t.column("page_id").to_numpy()
+        size = t.column("setsize").to_numpy()
+        pos = t.column("pos").to_numpy()
+        order = np.lexsort((pid, keys))
+        keys, pid, size, pos = (keys[order], pid[order], size[order],
+                                pos[order])
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        counts = np.diff(np.concatenate((starts, [n])))
+        ai, bi = [], []
+        two = starts[counts == 2]
+        if len(two):
+            ai.append(two)
+            bi.append(two + 1)
+        for r in np.nonzero(counts >= 3)[0]:
+            s, c = starts[r], counts[r]
+            iu = np.triu_indices(c, k=1)
+            ai.append(s + iu[0])
+            bi.append(s + iu[1])
+        if not ai:
+            return out_schema.empty_table()
+        ia = np.concatenate(ai)
+        ib = np.concatenate(bi)
+        sa, sb = size[ia], size[ib]
+        pa_, pb_ = pos[ia], pos[ib]
+        # length filter: J >= t forces min >= t*max (Arasu et al.)
         keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) \
             - 1e-9
-        return t.filter(pa.array(keep))
+        # positional filter: common grams other than this one lie
+        # strictly before it in both orders (<= min(pa, pb)) or
+        # strictly after (<= min(sa-pa-1, sb-pb-1))
+        alpha = np.ceil(threshold / (1.0 + threshold) * (sa + sb)
+                        - 1e-9)
+        ubound = 1 + np.minimum(pa_, pb_) \
+            + np.minimum(sa - pa_ - 1, sb - pb_ - 1)
+        keep &= ubound >= alpha
+        if not keep.any():
+            return out_schema.empty_table()
+        ia, ib = ia[keep], ib[keep]
+        return pa.Table.from_arrays(
+            [pa.array(pid[ia]), pa.array(pid[ib]),
+             pa.array(size[ia]), pa.array(size[ib])],
+            schema=out_schema)
 
     return fn
 
@@ -238,33 +269,26 @@ def build_pair_adjacency_ref(cand_ds):
 
 
 def _count_cooccurrence(adj_ref):
-    """map_batches fn over the gram-partitioned rows: one (a, b) hit
-    row per candidate edge fully inside a gram run."""
+    """map_batches fn over the gram-partitioned (df-attached, sorted)
+    rows: PARTIAL (a, b, cnt) counts of candidate edges fully inside a
+    gram run.  Runs are partition-disjoint, so partials sum exactly."""
     import ray
 
     holder: dict = {}
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("cnt", pa.int64())])
 
     def fn(t: pa.Table) -> pa.Table:
         if "adj" not in holder:
             holder["adj"] = ray.get(adj_ref)
         adj = holder["adj"]
-        out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-        n = t.num_rows
-        if n == 0 or len(adj["nodes"]) == 0:
+        if t.num_rows == 0 or len(adj["nodes"]) == 0:
             return out_schema.empty_table()
-        keys = t.column("bucket_key").to_numpy()
-        pid = t.column("page_id").to_numpy()
-        order = np.lexsort((pid, keys))
-        keys, pid = keys[order], pid[order]
-        # drop df=1 gram runs first — they cannot host a co-occurrence
-        # and are the large majority of rows in web-scale vocabularies
-        starts0 = np.concatenate(
-            ([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1))
-        counts0 = np.diff(np.concatenate((starts0, [n])))
-        run0 = np.cumsum(np.concatenate(
-            ([0], (keys[1:] != keys[:-1]).astype(np.int64))))
-        multi = counts0[run0] >= 2
-        keys, pid = keys[multi], pid[multi]
+        # rows arrive lexsorted by (bucket_key, page_id) with df
+        # attached (_attach_df); df=1 runs cannot host a co-occurrence
+        multi = t.column("df").to_numpy() >= 2
+        keys = t.column("bucket_key").to_numpy()[multi]
+        pid = t.column("page_id").to_numpy()[multi]
         n = len(keys)
         if n == 0:
             return out_schema.empty_table()
@@ -302,8 +326,13 @@ def _count_cooccurrence(adj_ref):
         hit = packed_rows[qpos] == packed_q
         if not hit.any():
             return out_schema.empty_table()
+        packed_ab = (pa_[hit].astype(np.uint64) << np.uint64(32)) \
+            | pb_[hit].astype(np.uint64)
+        upairs, cnts = np.unique(packed_ab, return_counts=True)
         return pa.Table.from_arrays(
-            [pa.array(pa_[hit]), pa.array(pb_[hit])],
+            [pa.array((upairs >> np.uint64(32)).astype(np.int64)),
+             pa.array((upairs & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+             pa.array(cnts.astype(np.int64))],
             schema=out_schema)
 
     return fn
@@ -313,66 +342,65 @@ def ngram_jaccard_pairs(docs_ds, *, n: int = 3, threshold: float = 0.5,
                         id_col: str = "page_id", text_col: str = "text",
                         num_partitions: int | None = None):
     """Dataset of (a, b, n_common, size_a, size_b, jaccard) for all doc
-    pairs with word-n-gram Jaccard ≥ threshold.  Exact (prefix-filter
-    candidates + exact intersection recount); see module docstring."""
+    pairs with word-n-gram Jaccard ≥ threshold.  Exact (prefix+
+    positional-filter candidates + exact intersection recount); see
+    module docstring."""
     import ray
+    import ray.data
 
     keyed = docs_ds.map_batches(explode_ngrams(n, id_col, text_col),
                                 batch_format="pyarrow")
-    gparts = hash_partitioned(keyed, ["bucket_key"],
-                              num_partitions).materialize()
+    gparts = hash_partitioned(keyed, ["bucket_key"], num_partitions) \
+        .map_batches(_attach_df, batch_format="pyarrow",
+                     batch_size=None).materialize()
 
-    with_df = gparts.map_batches(_attach_df, batch_format="pyarrow",
-                                 batch_size=None)
-    prefix = hash_partitioned(with_df, ["page_id"], num_partitions) \
+    prefix = hash_partitioned(gparts, ["page_id"], num_partitions) \
         .map_batches(_prefix_fn(threshold), batch_format="pyarrow",
                      batch_size=None)
     cand = hash_partitioned(prefix, ["bucket_key"], num_partitions) \
-        .map_batches(_cand_pairs, batch_format="pyarrow",
-                     batch_size=None) \
-        .map_batches(_length_filter(threshold),
-                     batch_format="pyarrow")
+        .map_batches(_cand_pairs(threshold), batch_format="pyarrow",
+                     batch_size=None)
     # no dedup exchange: the adjacency builder sees every candidate
     # block and dedups globally in one pass
     adj_ref = build_pair_adjacency_ref(cand)
-    hits = gparts.map_batches(_count_cooccurrence(adj_ref),
-                              batch_format="pyarrow", batch_size=None)
+    partial_refs = gparts.map_batches(
+        _count_cooccurrence(adj_ref), batch_format="pyarrow",
+        batch_size=None).to_arrow_refs()
 
     out_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("n_common", pa.int64()),
          ("size_a", pa.int64()), ("size_b", pa.int64()),
          ("jaccard", pa.float64())])
-    thr = threshold
 
-    def finish(t: pa.Table) -> pa.Table:
-        n_ = t.num_rows
-        if n_ == 0:
+    @ray.remote
+    def _finish(adj, thr, *blocks):
+        blocks = [b for b in blocks if b.num_columns > 0]
+        if not blocks:
             return out_schema.empty_table()
-        import ray as _ray
-
-        adj = _ray.get(adj_ref)
+        t = pa.concat_tables(blocks)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
         a = t.column("a").to_numpy()
         b = t.column("b").to_numpy()
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        starts = np.concatenate(
-            ([0], np.nonzero((a[1:] != a[:-1])
-                             | (b[1:] != b[:-1]))[0] + 1))
-        counts = np.diff(np.concatenate((starts, [n_])))
-        ua, ub = a[starts], b[starts]
-        sz_pos_a = np.searchsorted(adj["size_ids"], ua)
-        sz_pos_b = np.searchsorted(adj["size_ids"], ub)
-        sa = adj["sizes"][sz_pos_a]
-        sb = adj["sizes"][sz_pos_b]
-        denom = sa + sb - counts
-        jac = np.where(denom > 0, counts / np.maximum(denom, 1), 0.0)
+        cnt = t.column("cnt").to_numpy()
+        packed = (a.astype(np.uint64) << np.uint64(32)) \
+            | b.astype(np.uint64)
+        upairs, inv = np.unique(packed, return_inverse=True)
+        totals = np.bincount(inv, weights=cnt.astype(np.float64))
+        c = np.rint(totals).astype(np.int64)
+        ua = (upairs >> np.uint64(32)).astype(np.int64)
+        ub = (upairs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        sa = adj["sizes"][np.searchsorted(adj["size_ids"], ua)]
+        sb = adj["sizes"][np.searchsorted(adj["size_ids"], ub)]
+        denom = sa + sb - c
+        jac = np.where(denom > 0, c / np.maximum(denom, 1), 0.0)
         keep = jac >= thr
         return pa.Table.from_arrays(
             [pa.array(ua[keep]), pa.array(ub[keep]),
-             pa.array(counts[keep]), pa.array(sa[keep]),
+             pa.array(c[keep]), pa.array(sa[keep]),
              pa.array(sb[keep]),
              pa.array(jac[keep], type=pa.float64())],
             schema=out_schema)
 
-    return hash_partitioned(hits, ["a", "b"], num_partitions) \
-        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    return ray.data.from_arrow_refs(
+        [_finish.remote(adj_ref, threshold, *partial_refs)])
