@@ -130,23 +130,40 @@ def _cc_tree_reduce(star_ds, *, fanin: int = 8):
                                batch_size=None)
 
 
-_SENTINEL = np.iinfo(np.int64).max
+def cc_label_propagation(pairs_ds, *, max_rounds: int = 50,
+                         num_partitions: int | None = None):
+    """Distributed min-label propagation as a BSP loop over raw Ray
+    tasks (the Pregel pattern); returns a Ray Dataset with
+    CLUSTER_SCHEMA columns.
 
+    Why raw tasks and not Dataset ops: an iterative algorithm run as
+    per-round Dataset stages pays a full stage launch + exchange
+    (aggregator pool spin-up, plan compile) every round — measured
+    ~5 s/round at sandbox scale for data measured in kilobytes.  Here
+    the edge set is partitioned ONCE (star-collapsed per block by the
+    vectorized union-find combiner, exploded to both directions,
+    hash-exchanged on an explicit partition column we can recompute
+    for any destination id), and each round is P plain tasks passing
+    P×P small message arrays through the object store — delta
+    propagation, so a round's traffic is proportional to the labels
+    that actually changed, and convergence (no change anywhere) is
+    O(diameter) rounds over star-collapsed edges.
 
-def cc_label_propagation(pairs_ds, *, max_rounds: int = 50):
-    """Distributed min-label propagation; returns a Ray Dataset with
-    CLUSTER_SCHEMA.
+    Partitioning assumptions, stated: P should scale with the edge
+    count (default: cluster CPUs / 2); P² message objects per round
+    are tiny but their count grows quadratically — at very large P,
+    batch messages per destination WORKER rather than per partition.
+    Determinism: labels evolve by min() folds only, so the fixed
+    point is independent of scheduling order."""
+    import ray
 
-    Each round: rows (node, dst, label) — one label row per node
-    (dst = -1) plus one row per directed edge (label = sentinel) — are
-    sorted by node; a fully vectorized block scan computes each node's
-    current label (segment-min via ``np.minimum.reduceat``) and emits
-    it to every neighbor; a native groupby-min folds the messages into
-    new labels.  No per-group Python anywhere, so rounds cost two
-    small shuffles regardless of node count.  Converges in
-    O(diameter) rounds (label sums are monotone — equal sums ⇔ fixed
-    point); boundary runs of the sort are handled by a second
-    reduceat pass inside the min-fold, which is order-insensitive."""
+    from nxsearch_ray.functions.hashing import splitmix64
+    from nxsearch_ray.stages.shuffle import (
+        default_num_partitions,
+        hash_partitioned,
+    )
+
+    P = num_partitions or default_num_partitions()
 
     def to_edges(t: pa.Table) -> pa.Table:
         """Per-block union-find combiner: collapse every component
@@ -162,143 +179,130 @@ def cc_label_propagation(pairs_ds, *, max_rounds: int = 50):
                                           t.column("b").to_numpy())
         keep = node != root
         node, root = node[keep], root[keep]
+        both_n = np.concatenate([node, root])
+        both_d = np.concatenate([root, node])
+        pcol = (splitmix64(both_n.astype(np.uint64))
+                % np.uint64(P)).astype(np.int64)
         return pa.Table.from_arrays(
-            [pa.array(np.concatenate([node, root]), type=pa.int64()),
-             pa.array(np.concatenate([root, node]), type=pa.int64())],
-            names=["node", "dst"])
+            [pa.array(both_n, type=pa.int64()),
+             pa.array(both_d, type=pa.int64()),
+             pa.array(pcol, type=pa.int64())],
+            names=["node", "dst", "pcol"])
 
-    # coalesce: pair datasets arrive highly fragmented (union of many
-    # filter outputs) and per-round cost scales with BLOCK count, not
-    # row count
     edges = pairs_ds.select_columns(["a", "b"]).map_batches(
-        to_edges, batch_format="pyarrow").repartition(16).materialize()
+        to_edges, batch_format="pyarrow")
+    blocks = [b for b in hash_partitioned(edges, ["pcol"], P)
+              .materialize().to_arrow_refs()]
 
-    def init_labels(t: pa.Table) -> pa.Table:
-        node = t.column("node")
-        return pa.Table.from_arrays([node, node],
-                                    names=["node", "label"])
+    @ray.remote
+    def _prep(block):
+        """Per-partition state: node-sorted edge arrays, the sorted
+        unique node ids, and initial labels = min(node, local min
+        neighbor).  Returns (state, labels0, pcols)."""
+        if block.num_columns == 0 or block.num_rows == 0:
+            return None, np.empty(0, np.int64), np.empty(0, np.int64)
+        node = block.column("node").to_numpy()
+        dst = block.column("dst").to_numpy()
+        pcols = np.unique(block.column("pcol").to_numpy())
+        order = np.argsort(node, kind="stable")
+        node, dst = node[order], dst[order]
+        nodes, starts = np.unique(node, return_index=True)
+        local_min = np.minimum.reduceat(dst, starts)
+        labels = np.minimum(nodes, local_min)
+        eidx = np.searchsorted(nodes, node)   # edge row → node slot
+        state = {"nodes": nodes, "eidx": eidx, "dst": dst}
+        return state, labels, pcols
 
-    labels = edges.map_batches(init_labels, batch_format="pyarrow") \
-        .groupby("node").min("label").map_batches(
-            lambda t: t.rename_columns(["node", "label"]),
-            batch_format="pyarrow").materialize()
+    preps = [_prep.options(num_returns=3).remote(b) for b in blocks]
+    state_refs = [p[0] for p in preps]
+    pcol_lists = ray.get([p[2] for p in preps])
+    B = len(blocks)
+    pcol2blk = np.full(P, -1, dtype=np.int64)
+    for bi, pl in enumerate(pcol_lists):
+        pcol2blk[pl] = bi
+    live = [bi for bi, pl in enumerate(pcol_lists) if len(pl)]
+    if not live:
+        import ray.data as rd
 
-    def tag_label(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.Table.from_arrays(
-            [t.column("node"),
-             pa.array(np.full(n, -1, np.int64)),
-             t.column("label")],
-            names=["node", "dst", "label"])
+        return rd.from_arrow(CLUSTER_SCHEMA.empty_table())
 
-    def tag_edge(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.Table.from_arrays(
-            [t.column("node"), t.column("dst"),
-             pa.array(np.full(n, _SENTINEL, np.int64))],
-            names=["node", "dst", "label"])
+    @ray.remote
+    def _round(state, labels, first, pcol2blk_, nblocks, *inbox):
+        """One BSP superstep: fold inbox minima into labels, emit the
+        changed labels along local out-edges grouped by destination
+        block.  Returns (labels, changed_count, msg_0, ..., msg_B-1);
+        each msg is a 2×k int64 array (dst ids, labels)."""
+        empty = np.empty((2, 0), dtype=np.int64)
+        if state is None:
+            return (labels, 0) + (empty,) * nblocks
+        nodes = state["nodes"]
+        lab = labels.copy()
+        for m in inbox:
+            if m is None or m.shape[1] == 0:
+                continue
+            pos = np.clip(np.searchsorted(nodes, m[0]), 0,
+                          len(nodes) - 1)
+            # routing guarantees targets exist here; the mask is
+            # cheap insurance against a foreign id
+            ok = nodes[pos] == m[0]
+            np.minimum.at(lab, pos[ok], m[1][ok])
+        changed_mask = lab != labels
+        changed = int(changed_mask.sum())
+        emit_mask = changed_mask if not first else \
+            np.ones(len(nodes), dtype=bool)
+        if not emit_mask.any():
+            return (lab, changed) + (empty,) * nblocks
+        eidx = state["eidx"]
+        sel = emit_mask[eidx]
+        dsel = state["dst"][sel]
+        lsel = lab[eidx[sel]]
+        dblk = pcol2blk_[(splitmix64(dsel.astype(np.uint64))
+                          % np.uint64(len(pcol2blk_))).astype(np.int64)]
+        order = np.argsort(dblk, kind="stable")
+        dblk, dsel, lsel = dblk[order], dsel[order], lsel[order]
+        bounds = np.searchsorted(dblk, np.arange(nblocks + 1))
+        out = tuple(
+            np.stack([dsel[bounds[q]:bounds[q + 1]],
+                      lsel[bounds[q]:bounds[q + 1]]])
+            if bounds[q + 1] > bounds[q] else empty
+            for q in range(nblocks))
+        return (lab, changed) + out
 
-    mixed_schema = pa.schema([
-        ("node", pa.int64()), ("label", pa.int64()),
-        ("dst", pa.int64()), ("pending", pa.bool_())])
-
-    def propagate_block(t: pa.Table) -> pa.Table:
-        """Vectorized per-block message emission over node runs
-        (segment-min via ``np.minimum.reduceat``).  Runs touching a
-        block edge may be split across blocks — their node's label row
-        might live in the other block — so their raw rows are routed
-        to a tiny per-node fallback, like the candidate pair scan."""
-        n = t.num_rows
-        if n == 0:
-            return mixed_schema.empty_table()
-        node = t.column("node").to_numpy()
-        dst = t.column("dst").to_numpy()
-        lab = t.column("label").to_numpy()
-        change = np.nonzero(node[1:] != node[:-1])[0] + 1
-        starts = np.concatenate(([0], change))
-        counts = np.diff(np.concatenate((starts, [n])))
-        pend = np.zeros(n, dtype=bool)
-        pend[:counts[0]] = True
-        pend[starts[-1]:] = True
-        run_min = np.minimum.reduceat(lab, starts)
-        run_id = np.cumsum(np.concatenate(
-            ([0], (node[1:] != node[:-1]).astype(np.int64))))
-        msg_label = run_min[run_id]
-        out_node = np.where(dst == -1, node, dst)
-        keep = ~pend
-        done_t = pa.Table.from_arrays(
-            [pa.array(out_node[keep]), pa.array(msg_label[keep]),
-             pa.array(np.full(int(keep.sum()), -2, np.int64)),
-             pa.array(np.zeros(int(keep.sum()), dtype=bool))],
-            schema=mixed_schema)
-        pend_t = pa.Table.from_arrays(
-            [pa.array(node[pend]), pa.array(lab[pend]),
-             pa.array(dst[pend]),
-             pa.array(np.ones(int(pend.sum()), dtype=bool))],
-            schema=mixed_schema)
-        return pa.concat_tables([done_t, pend_t])
-
-    def fallback_emit(g: pa.Table) -> pa.Table:
-        lab = g.column("label").to_numpy()
-        dst = g.column("dst").to_numpy()
-        node = int(g.column("node")[0].as_py())
-        node_label = int(lab.min())
-        out_node = np.where(dst == -1, node, dst)
-        return pa.Table.from_arrays(
-            [pa.array(out_node, type=pa.int64()),
-             pa.array(np.full(len(out_node), node_label, np.int64))],
-            names=["node", "label"])
-
-    def pointer_jump(lbls):
-        """label(node) ← label(label(node)) — pointer jumping halves
-        pointer-chain depth per application, so chains the per-block
-        combiner could not see converge in O(log diameter) instead of
-        O(diameter) rounds."""
-        from nxsearch_ray.stages.join import hash_join
-
-        lab_schema = pa.schema([("node", pa.int64()),
-                                ("label", pa.int64())])
-        j = hash_join(lbls, lbls, left_key="label", right_key="node",
-                      left_schema=lab_schema, right_schema=lab_schema,
-                      right_suffix="_p")
-
-        def finish(t: pa.Table) -> pa.Table:
-            return pa.Table.from_arrays(
-                [t.column("node"), t.column("label_p")],
-                names=["node", "label"])
-
-        return j.map_batches(finish, batch_format="pyarrow") \
-            .repartition(16).materialize()
-
-    old_sum = labels.sum("label")
-    for _ in range(max_rounds):
-        tagged = labels.map_batches(tag_label, batch_format="pyarrow") \
-            .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
-        mixed = tagged.sort("node").map_batches(
-            propagate_block, batch_format="pyarrow",
-            batch_size=None).materialize()
-        done = mixed.map_batches(
-            lambda t: t.filter(pa.compute.invert(t.column("pending")))
-            .select(["node", "label"]), batch_format="pyarrow")
-        pending = mixed.map_batches(
-            lambda t: t.filter(t.column("pending")),
-            batch_format="pyarrow")
-        fb = pending.groupby("node").map_groups(
-            fallback_emit, batch_format="pyarrow")
-        msgs = done.union(fb)
-        # repartition: aggregate/sort outputs fragment into many tiny
-        # blocks; left unchecked the block count compounds each round
-        new_labels = msgs.groupby("node").min("label").map_batches(
-            lambda t: t.rename_columns(["node", "label"]),
-            batch_format="pyarrow").repartition(16).materialize()
-        new_labels = pointer_jump(new_labels)
-
-        new_sum = new_labels.sum("label")
-        labels = new_labels
-        if old_sum == new_sum:
+    # round 0 bootstraps: every node announces its initial label
+    # (labels0 from _prep); later rounds emit only changed labels
+    label_refs: list = [preps[bi][1] for bi in range(B)]
+    msg_refs = [[None] * B for _ in range(B)]   # [src][dst]
+    for rnd in range(max_rounds):
+        outs = {}
+        for bi in live:
+            inbox = [msg_refs[q][bi] for q in live
+                     if msg_refs[q][bi] is not None]
+            outs[bi] = _round.options(num_returns=2 + B).remote(
+                state_refs[bi], label_refs[bi], rnd == 0,
+                pcol2blk, B, *inbox)
+        changed_refs = []
+        for bi in live:
+            r = outs[bi]
+            label_refs[bi] = r[0]
+            changed_refs.append(r[1])
+            for q in range(B):
+                msg_refs[bi][q] = r[2 + q]
+        total_changed = sum(ray.get(changed_refs))
+        if rnd > 0 and total_changed == 0:
+            # a full fold round saw no change anywhere, and delta
+            # emission means its outboxes are empty → fixed point
             break
-        old_sum = new_sum
 
-    return labels.map_batches(
-        lambda t: t.rename_columns(["page_id", "cluster_id"]),
-        batch_format="pyarrow")
+    @ray.remote
+    def _to_table(state, labels):
+        if state is None:
+            return CLUSTER_SCHEMA.empty_table()
+        return pa.Table.from_arrays(
+            [pa.array(state["nodes"]), pa.array(labels)],
+            schema=CLUSTER_SCHEMA)
+
+    import ray.data as rd
+
+    tables = [_to_table.remote(state_refs[bi], label_refs[bi])
+              for bi in live]
+    return rd.from_arrow_refs(tables)
