@@ -1,13 +1,13 @@
 """Distributed equi-join for Ray Data (both-sides-large path).
 
-Ray 2.49 has no general `Dataset.join`, and Arrow's Acero join rejects
-list-typed payload columns (our minhash/bottomk/token_ids), so this
-implements a **sort-merge join**: tag rows from both sides, align
-schemas, ONE global sort on the key, then a vectorized per-block run
-scan that broadcasts each key's single right-side row to its left-side
-rows (`Table.take` gather — supports every Arrow type).  Runs touching
-a block edge fall back to a tiny per-key groupby, exactly like the
-candidate pair scan (stages/pairs.py).
+Ray 2.49's `Dataset.join` is Acero underneath and rejects list-typed
+payload columns (our minhash/bottomk/token_ids), so this implements
+the join directly: tag rows from both sides, align schemas, ONE
+key-disjoint hash exchange (stages/shuffle.py), then a vectorized
+per-block run scan that broadcasts each key's single right-side row
+to its left-side rows (`Table.take` gather — supports every Arrow
+type).  Key runs are complete inside their block, so there is no
+boundary fallback and no global sort.
 
 Contract: the right side is unique per key (true for signature /
 canonical tables keyed by page_id); every matching left row appears
@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def _key_filter(ds, key: str, key_values, keep_matches: bool):
@@ -200,12 +199,19 @@ def pair_join(pairs_ds, right_ds, *, right_key: str,
 
 def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
               left_schema: pa.Schema, right_schema: pa.Schema,
-              num_buckets: int = 64, right_suffix: str = "_r"):
-    """Inner-join ``left[left_key] == right[right_key]`` (sort-merge;
-    the ``num_buckets`` parameter is accepted for API compatibility
-    and ignored).  Schemas are passed explicitly — Ray schemas are
-    lazy, and passing them avoids triggering execution just to
-    inspect."""
+              num_partitions: int | None = None,
+              right_suffix: str = "_r"):
+    """Inner-join ``left[left_key] == right[right_key]``.  Schemas are
+    passed explicitly — Ray schemas are lazy, and passing them avoids
+    triggering execution just to inspect.
+
+    One key-disjoint hash exchange (stages/shuffle.py) co-locates both
+    sides' rows per key; a local sort by (key, side) inside each block
+    then gathers the key's single right row onto its left rows.  Every
+    key run is complete inside its block, so there is no boundary
+    fallback, no global sort and no barrier — the join streams."""
+    from nxsearch_ray.stages.shuffle import hash_partitioned
+
     left_names = [f.name for f in left_schema]
     payload_fields = [pa.field(f.name + right_suffix, f.type)
                       for f in right_schema if f.name != right_key]
@@ -242,77 +248,34 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
                  for f in right_schema if f.name != right_key}),
         batch_format="pyarrow")
 
-    mixed_schema = pa.schema(list(union_schema)
-                             + [pa.field("__pending", pa.bool_())])
+    parts = hash_partitioned(left_t.union(right_t), ["__key"],
+                             num_partitions)
 
     def block_join(t: pa.Table) -> pa.Table:
-        """Join interior key runs vectorized; route boundary runs to
-        the fallback untouched."""
+        """Per-block (key-complete) run scan: gather each key's single
+        right-side row (sorts last within its run) onto its left rows."""
         n = t.num_rows
         if n == 0:
-            return mixed_schema.empty_table()
+            return out_schema.empty_table()
         keys = t.column("__key").to_numpy()
         side = t.column("__side").to_numpy()
-        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
-        starts = np.concatenate(([0], change))
-        nruns = len(starts)
+        order = np.lexsort((side, keys))
+        keys, side = keys[order], side[order]
+        t = t.take(pa.array(order, type=pa.int64()))
         run_id = np.cumsum(np.concatenate(
             ([0], (keys[1:] != keys[:-1]).astype(np.int64))))
-        pend = np.zeros(n, dtype=bool)
-        pend[:starts[1] if nruns > 1 else n] = True
-        pend[starts[-1]:] = True
-
+        nruns = run_id[-1] + 1 if n else 0
         right_rows = np.nonzero(side == 1)[0]
         right_of_run = np.full(nruns, -1, dtype=np.int64)
         right_of_run[run_id[right_rows]] = right_rows
-
-        left_rows = np.nonzero((side == 0) & ~pend)[0]
+        left_rows = np.nonzero(side == 0)[0]
         rpos = right_of_run[run_id[left_rows]]
         matched = rpos >= 0
-        lsel = left_rows[matched]
-        rsel = rpos[matched]
-
-        lt = t.take(pa.array(lsel, type=pa.int64()))
-        rt = t.take(pa.array(rsel, type=pa.int64()))
-        cols = [lt.column("__side"), lt.column("__key")]
-        cols += [lt.column(nm) for nm in left_names]
-        cols += [rt.column(nm) for nm in payload_names]
-        cols.append(pa.array(np.zeros(len(lsel), dtype=bool)))
-        done_t = pa.Table.from_arrays(cols, schema=mixed_schema)
-
-        pend_t = t.filter(pa.array(pend)).append_column(
-            "__pending", pa.array(np.ones(int(pend.sum()), dtype=bool)))
-        return pa.concat_tables([done_t, pend_t])
-
-    # coalesce before the sort: fragmented inputs (unions of filter
-    # outputs, prior join results) multiply the sort's per-block
-    # sample/partition overhead
-    mixed = left_t.union(right_t).repartition(64) \
-        .sort(["__key", "__side"]).map_batches(
-            block_join, batch_format="pyarrow",
-            batch_size=None).materialize()
-
-    done = mixed.map_batches(
-        lambda t: t.filter(pc.invert(t.column("__pending")))
-        .select(left_names + payload_names),
-        batch_format="pyarrow")
-    pending = mixed.map_batches(
-        lambda t: t.filter(t.column("__pending")),
-        batch_format="pyarrow")
-
-    def join_group(g: pa.Table) -> pa.Table:
-        side = g.column("__side").to_numpy()
-        rpos = np.nonzero(side == 1)[0]
-        lpos = np.nonzero(side == 0)[0]
-        if len(rpos) == 0 or len(lpos) == 0:
-            return out_schema.empty_table()
-        lt = g.take(pa.array(lpos, type=pa.int64()))
-        rt = g.take(pa.array(np.full(len(lpos), rpos[0]),
-                             type=pa.int64()))
+        lt = t.take(pa.array(left_rows[matched], type=pa.int64()))
+        rt = t.take(pa.array(rpos[matched], type=pa.int64()))
         cols = [lt.column(nm) for nm in left_names]
         cols += [rt.column(nm) for nm in payload_names]
         return pa.Table.from_arrays(cols, schema=out_schema)
 
-    fallback = pending.groupby("__key").map_groups(
-        join_group, batch_format="pyarrow")
-    return done.union(fallback)
+    return parts.map_batches(block_join, batch_format="pyarrow",
+                             batch_size=None)
