@@ -41,6 +41,18 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _first_of_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Indices of the first occurrence of each distinct (a, b) pair.
+
+    lexsort-based so arbitrary int64 ids work (no 2^32 packing
+    assumption)."""
+    order = np.lexsort((b, a))
+    sa, sb = a[order], b[order]
+    new = np.concatenate(
+        ([True], (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])))
+    return order[new]
+
+
 class BruteForceTopK:
     """Actor: query matrix fetched once per actor; per-batch matmul +
     local top-k per query."""
@@ -266,26 +278,60 @@ def embedding_dup_pairs(emb_ds, *, threshold: float = 0.98,
     out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                             ("cosine", pa.float64())])
 
-    def emit(group: pa.Table) -> pa.Table:
-        ids = group.column("vec_id").to_numpy()
-        uids, first = np.unique(ids, return_index=True)
-        a, b = pairs_within(uids, bucket_cap)
-        if len(a) == 0:
+    from nxsearch_ray.stages.shuffle import hash_partitioned
+
+    def emit_block(t: pa.Table) -> pa.Table:
+        """Per-block (bucket-complete) run scan: pairs within every
+        bucket run, one einsum for ALL pairs of the block, then a
+        block-local dedup (the same pair surfaces via several
+        tables/probes with the identical exact cosine)."""
+        if t.num_rows == 0:
             return out_schema.empty_table()
-        mat = _normalize(_embedding_matrix(group, "embedding"))[first]
-        ia = np.searchsorted(uids, a)
-        ib = np.searchsorted(uids, b)
+        keys = t.column("bucket_key").to_numpy()
+        ids = t.column("vec_id").to_numpy()
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        t = t.take(pa.array(order, type=pa.int64()))
+        n = len(keys)
+        starts = np.concatenate(
+            ([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1))
+        counts = np.diff(np.concatenate((starts, [n])))
+        ai, bi = [], []
+        for r in np.nonzero(counts >= 2)[0]:
+            s, c = starts[r], counts[r]
+            a, b = pairs_within(ids[s:s + c], bucket_cap)
+            if len(a):
+                # map pair ids back to row positions within the run
+                # (ids slice is sorted; duplicates resolve to first)
+                ai.append(s + np.searchsorted(ids[s:s + c], a))
+                bi.append(s + np.searchsorted(ids[s:s + c], b))
+        if not ai:
+            return out_schema.empty_table()
+        ia = np.concatenate(ai)
+        ib = np.concatenate(bi)
+        mat = _normalize(_embedding_matrix(t, "embedding"))
         cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
         keep = cos >= threshold
+        if not keep.any():
+            return out_schema.empty_table()
+        a, b, cos = ids[ia[keep]], ids[ib[keep]], cos[keep]
+        first = _first_of_pairs(a, b)
         return pa.Table.from_arrays(
-            [pa.array(a[keep]), pa.array(b[keep]),
-             pa.array(cos[keep], type=pa.float64())],
+            [pa.array(a[first]), pa.array(b[first]),
+             pa.array(cos[first], type=pa.float64())],
             schema=out_schema)
 
-    pairs = keyed.groupby("bucket_key").map_groups(
-        emit, batch_format="pyarrow")
+    pairs = hash_partitioned(keyed, ["bucket_key"]).map_batches(
+        emit_block, batch_format="pyarrow", batch_size=None)
+
+    def dedup_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        first = _first_of_pairs(t.column("a").to_numpy(),
+                                t.column("b").to_numpy())
+        return t.take(pa.array(first, type=pa.int64()))
+
     # fold duplicates found via several tables/probes (cosine is the
-    # same exact value for every sighting, so max == the value)
-    return pairs.groupby(["a", "b"]).max("cosine").map_batches(
-        lambda t: t.rename_columns(["a", "b", "cosine"]),
-        batch_format="pyarrow")
+    # same exact value for every sighting, so first == the value)
+    return hash_partitioned(pairs, ["a", "b"]).map_batches(
+        dedup_block, batch_format="pyarrow", batch_size=None)
