@@ -98,6 +98,100 @@ def test_ngram_jaccard_matches_bruteforce(ray_session):
                 assert (i, j) not in pairs
 
 
+def test_count_cooccurrence_both_strategies(ray_session):
+    """Unit-test the exact-count pass's per-run strategy choice: a hot
+    boilerplate run (C(df,2) huge, candidate degrees tiny) must take
+    the adjacency-expansion branch while ordinary runs enumerate —
+    and the partial counts must be identical to brute force either
+    way."""
+    import ray
+
+    from nxsearch_ray.stages.setsim import _count_cooccurrence
+
+    # gram runs: hot run (key 100: docs 0..49), three ordinary runs
+    runs = {100: list(range(50)), 200: [0, 1, 2], 300: [1, 2],
+            400: [0, 2]}
+    keys, pids = [], []
+    for k in sorted(runs):
+        for p in runs[k]:
+            keys.append(k)
+            pids.append(p)
+    dfs = [len(runs[k]) for k in sorted(runs) for _ in runs[k]]
+    t = pa.table({"bucket_key": pa.array(keys, type=pa.uint64()),
+                  "page_id": pa.array(pids, type=pa.int64()),
+                  "df": pa.array(dfs, type=pa.int64())})
+    # candidate pairs (a < b), a-side CSR exactly as _build emits
+    cand = [(0, 1), (0, 2), (1, 2)]
+    a = np.array([p[0] for p in cand], dtype=np.int64)
+    b = np.array([p[1] for p in cand], dtype=np.int64)
+    adj = {"nodes": np.array([0, 1], dtype=np.int64),
+           "offsets": np.array([0, 2, 3], dtype=np.int64),
+           "partners": np.array([1, 2, 2], dtype=np.int64),
+           "pair_keys": (a.astype(np.uint64) << np.uint64(32))
+           | b.astype(np.uint64),
+           "size_ids": np.array([0, 1, 2], dtype=np.int64),
+           "sizes": np.array([10, 10, 10], dtype=np.int64)}
+    # the hot run must choose expansion: C(50,2)=1225 >> sum(deg)=3
+    fn = _count_cooccurrence(ray.put(adj))
+    got = fn(t)
+    counts = {(r["a"], r["b"]): r["cnt"] for r in got.to_pylist()}
+    expected = {}
+    for (x, y) in cand:
+        expected[(x, y)] = sum(1 for k in runs
+                               if x in runs[k] and y in runs[k])
+    assert counts == expected
+    # splitting into per-run blocks must sum to the same totals
+    parts = []
+    off = 0
+    for k in sorted(runs):
+        parts.append(fn(t.slice(off, len(runs[k]))))
+        off += len(runs[k])
+    summed: dict = {}
+    for p in parts:
+        for r in p.to_pylist():
+            summed[(r["a"], r["b"])] = summed.get((r["a"], r["b"]), 0) \
+                + r["cnt"]
+    assert summed == expected
+
+
+def test_ngram_jaccard_skewed_boilerplate(ray_session):
+    """End-to-end exactness on a skewed corpus: every doc shares a
+    boilerplate phrase (df = n_docs grams → the expansion branch and
+    the prefix filter's high-df ordering both engage) plus planted
+    near-dup pairs."""
+    import ray.data as rd
+
+    from nxsearch_ray.stages.setsim import ngram_jaccard_pairs, ngram_set
+
+    boiler = "terms of service apply all rights reserved"
+    texts = []
+    for i in range(30):
+        uniq = " ".join(f"w{i}x{j}" for j in range(6))
+        texts.append(f"{boiler} {uniq}")
+    # planted near-dups: same unique tail with one word changed
+    texts[10] = texts[0].replace("w0x5", "zz")
+    texts[21] = texts[20]
+    t = pa.table({"page_id": list(range(30)), "text": texts})
+    out = ngram_jaccard_pairs(rd.from_arrow(t), n=3, threshold=0.3)
+    got = pa.concat_tables(out.iter_batches(batch_size=1000,
+                                            batch_format="pyarrow"))
+    pairs = {(r["a"], r["b"]): (r["n_common"], r["jaccard"])
+             for r in got.to_pylist()}
+    grams = [ngram_set(x, 3) for x in texts]
+    expected = {}
+    for i in range(30):
+        for j in range(i + 1, 30):
+            inter = len(grams[i] & grams[j])
+            jac = inter / len(grams[i] | grams[j]) if inter else 0.0
+            if jac >= 0.3:
+                expected[(i, j)] = inter
+    assert set(pairs) == set(expected)
+    for k, inter in expected.items():
+        assert pairs[k][0] == inter
+        assert pytest.approx(pairs[k][1]) == inter / (
+            len(grams[k[0]] | grams[k[1]]))
+
+
 # ---------------------------------------------------------------- ANN
 
 def _rand_embeddings(n=200, dim=16, seed=5):
