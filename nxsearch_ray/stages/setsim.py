@@ -229,7 +229,13 @@ def _cand_pairs(threshold: float):
 
 def build_pair_adjacency_ref(cand_ds):
     """CSR adjacency + per-doc set sizes of the candidate pairs, built
-    in one remote task and broadcast by ObjectRef."""
+    in one remote task and broadcast by ObjectRef.
+
+    All internal keys are DENSE RANKS over the candidate-endpoint id
+    universe (``ids``), not global doc ids: ranks are bounded by the
+    candidate count (already bounded by the broadcast budget), so the
+    packed (hi<<32)|lo keys downstream stay valid for arbitrary-width
+    global ids — a 10^12-doc corpus has page_ids well past 2^32."""
     import ray
 
     refs = cand_ds.to_arrow_refs()
@@ -256,19 +262,22 @@ def build_pair_adjacency_ref(cand_ds):
             first = np.concatenate(
                 ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
             a, b, sa, sb = a[first], b[first], sa[first], sb[first]
-        nodes, starts_idx = np.unique(a, return_index=True)
-        offsets = np.concatenate((starts_idx, [len(a)])).astype(np.int64)
-        # id → setsize lookup (both endpoints)
+        # dense-rank the id universe; sizes aligned to rank order
         ids = np.concatenate([a, b])
         szs = np.concatenate([sa, sb])
         uid, first = np.unique(ids, return_index=True)
-        # sorted packed pair keys for the enumeration strategy's
-        # membership test (a, b already lexsorted and deduped)
-        pair_keys = (a.astype(np.uint64) << np.uint64(32)) \
-            | b.astype(np.uint64)
-        return {"nodes": nodes, "offsets": offsets, "partners": b,
-                "pair_keys": pair_keys,
-                "size_ids": uid, "sizes": szs[first]}
+        a_r = np.searchsorted(uid, a)
+        b_r = np.searchsorted(uid, b)
+        # rank order preserves id order, so lexsorted (a, b) stays
+        # lexsorted as (a_r, b_r)
+        nodes_r, starts_idx = np.unique(a_r, return_index=True)
+        offsets = np.concatenate((starts_idx, [len(a_r)])) \
+            .astype(np.int64)
+        pair_keys = (a_r.astype(np.uint64) << np.uint64(32)) \
+            | b_r.astype(np.uint64)
+        return {"ids": uid, "sizes": szs[first],
+                "nodes": nodes_r, "offsets": offsets, "partners": b_r,
+                "pair_keys": pair_keys}
 
     return _build.remote(*refs)
 
@@ -303,16 +312,24 @@ def _count_cooccurrence(adj_ref):
         adj = holder["adj"]
         if t.num_rows == 0 or len(adj["nodes"]) == 0:
             return out_schema.empty_table()
+        ids = adj["ids"]
         # rows arrive lexsorted by (bucket_key, page_id) with df
         # attached (_attach_df); df=1 runs cannot host a co-occurrence
         multi = t.column("df").to_numpy() >= 2
         keys = t.column("bucket_key").to_numpy()[multi]
         pid = t.column("page_id").to_numpy()[multi]
+        if len(keys) == 0:
+            return out_schema.empty_table()
+        # global id → dense rank; docs outside the candidate-endpoint
+        # universe can never sit on a candidate edge — drop them.  All
+        # packed keys below are over ranks (< |endpoints| << 2^32) and
+        # run indices, never raw ids, so arbitrary-width page_ids work.
+        rpos = np.clip(np.searchsorted(ids, pid), 0, len(ids) - 1)
+        in_univ = ids[rpos] == pid
+        keys, pid = keys[in_univ], rpos[in_univ]
         n = len(keys)
         if n == 0:
             return out_schema.empty_table()
-        assert pid.max(initial=0) < (1 << 32), \
-            "packed-key co-occurrence assumes page_id < 2^32"
         new_run = np.concatenate(
             ([True], keys[1:] != keys[:-1]))
         run_id = np.cumsum(new_run.astype(np.int64)) - 1
@@ -438,15 +455,19 @@ def ngram_jaccard_pairs(docs_ds, *, n: int = 3, threshold: float = 0.5,
         a = t.column("a").to_numpy()
         b = t.column("b").to_numpy()
         cnt = t.column("cnt").to_numpy()
+        # partials carry dense ranks (see _count_cooccurrence); sizes
+        # index directly, global ids come back via adj["ids"] at the end
         packed = (a.astype(np.uint64) << np.uint64(32)) \
             | b.astype(np.uint64)
         upairs, inv = np.unique(packed, return_inverse=True)
         totals = np.bincount(inv, weights=cnt.astype(np.float64))
         c = np.rint(totals).astype(np.int64)
-        ua = (upairs >> np.uint64(32)).astype(np.int64)
-        ub = (upairs & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        sa = adj["sizes"][np.searchsorted(adj["size_ids"], ua)]
-        sb = adj["sizes"][np.searchsorted(adj["size_ids"], ub)]
+        ra = (upairs >> np.uint64(32)).astype(np.int64)
+        rb = (upairs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        sa = adj["sizes"][ra]
+        sb = adj["sizes"][rb]
+        ua = adj["ids"][ra]
+        ub = adj["ids"][rb]
         denom = sa + sb - c
         jac = np.where(denom > 0, c / np.maximum(denom, 1), 0.0)
         keep = jac >= thr

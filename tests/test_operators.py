@@ -103,24 +103,28 @@ def test_count_cooccurrence_both_strategies(ray_session):
     boilerplate run (C(df,2) huge, candidate degrees tiny) must take
     the adjacency-expansion branch while ordinary runs enumerate —
     and the partial counts must be identical to brute force either
-    way."""
+    way.  Page ids sit above 2^32 to exercise the dense-rank mapping
+    (the adjacency is rank-keyed; partials carry ranks)."""
     import ray
 
     from nxsearch_ray.stages.setsim import _count_cooccurrence
 
-    # gram runs: hot run (key 100: docs 0..49), three ordinary runs
+    BIG = 3 << 32  # global ids beyond uint32 range
+    # gram runs: hot run (key 100: docs 0..49), three ordinary runs —
+    # local index i is also doc BIG+i's dense rank
     runs = {100: list(range(50)), 200: [0, 1, 2], 300: [1, 2],
             400: [0, 2]}
     keys, pids = [], []
     for k in sorted(runs):
         for p in runs[k]:
             keys.append(k)
-            pids.append(p)
+            pids.append(BIG + p)
     dfs = [len(runs[k]) for k in sorted(runs) for _ in runs[k]]
     t = pa.table({"bucket_key": pa.array(keys, type=pa.uint64()),
                   "page_id": pa.array(pids, type=pa.int64()),
                   "df": pa.array(dfs, type=pa.int64())})
-    # candidate pairs (a < b), a-side CSR exactly as _build emits
+    # candidate pairs as ranks (a < b), a-side CSR exactly as _build
+    # emits; ids maps rank -> global id over the endpoint universe
     cand = [(0, 1), (0, 2), (1, 2)]
     a = np.array([p[0] for p in cand], dtype=np.int64)
     b = np.array([p[1] for p in cand], dtype=np.int64)
@@ -129,7 +133,7 @@ def test_count_cooccurrence_both_strategies(ray_session):
            "partners": np.array([1, 2, 2], dtype=np.int64),
            "pair_keys": (a.astype(np.uint64) << np.uint64(32))
            | b.astype(np.uint64),
-           "size_ids": np.array([0, 1, 2], dtype=np.int64),
+           "ids": BIG + np.array([0, 1, 2], dtype=np.int64),
            "sizes": np.array([10, 10, 10], dtype=np.int64)}
     # the hot run must choose expansion: C(50,2)=1225 >> sum(deg)=3
     fn = _count_cooccurrence(ray.put(adj))
@@ -171,7 +175,9 @@ def test_ngram_jaccard_skewed_boilerplate(ray_session):
     # planted near-dups: same unique tail with one word changed
     texts[10] = texts[0].replace("w0x5", "zz")
     texts[21] = texts[20]
-    t = pa.table({"page_id": list(range(30)), "text": texts})
+    BIG = 5 << 32  # ids beyond uint32: end-to-end wide-id coverage
+    t = pa.table({"page_id": [BIG + i for i in range(30)],
+                  "text": texts})
     out = ngram_jaccard_pairs(rd.from_arrow(t), n=3, threshold=0.3)
     got = pa.concat_tables(out.iter_batches(batch_size=1000,
                                             batch_format="pyarrow"))
@@ -184,12 +190,12 @@ def test_ngram_jaccard_skewed_boilerplate(ray_session):
             inter = len(grams[i] & grams[j])
             jac = inter / len(grams[i] | grams[j]) if inter else 0.0
             if jac >= 0.3:
-                expected[(i, j)] = inter
+                expected[(BIG + i, BIG + j)] = inter
     assert set(pairs) == set(expected)
     for k, inter in expected.items():
         assert pairs[k][0] == inter
         assert pytest.approx(pairs[k][1]) == inter / (
-            len(grams[k[0]] | grams[k[1]]))
+            len(grams[k[0] - BIG] | grams[k[1] - BIG]))
 
 
 # ---------------------------------------------------------------- ANN
