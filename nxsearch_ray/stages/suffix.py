@@ -50,6 +50,29 @@ class TokenIndex:
             raise KeyError(pid)
         return self.tok_flat[self.tok_offsets[pos]:self.tok_offsets[pos + 1]]
 
+    def gather(self, pids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized multi-doc lookup: (flat token ids, offsets) in
+        ``pids`` order.  Raises KeyError on any missing id."""
+        from nxsearch_ray.functions.hashing import _seg_arange
+
+        pids = np.asarray(pids, dtype=np.int64)
+        if len(pids) == 0:
+            return (np.empty(0, self.tok_flat.dtype),
+                    np.zeros(1, dtype=np.int64))
+        if len(self.page_ids) == 0:
+            raise KeyError(int(pids[0]))
+        pos = np.searchsorted(self.page_ids, pids)
+        clipped = np.minimum(pos, len(self.page_ids) - 1)
+        bad = (pos >= len(self.page_ids)) | (self.page_ids[clipped] != pids)
+        if bad.any():
+            raise KeyError(int(pids[np.argmax(bad)]))
+        pos = clipped
+        starts = self.tok_offsets[pos]
+        counts = self.tok_offsets[pos + 1] - starts
+        offsets = np.zeros(len(pids) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return self.tok_flat[_seg_arange(starts, counts)], offsets
+
 
 def collect_token_index(canonical_ds) -> TokenIndex:
     t = pa.concat_tables(
@@ -100,6 +123,77 @@ def exact_adjudicate(ta: np.ndarray, tb: np.ndarray, cfg: PipelineConfig
     return lcs, lcs / m, jac
 
 
+def _seg_unique(vals: np.ndarray, offsets: np.ndarray, n: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment unique: (flat unique values grouped by segment,
+    per-segment unique counts)."""
+    seg = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    order = np.lexsort((vals, seg))
+    v, s = vals[order], seg[order]
+    keep = np.ones(len(v), dtype=bool)
+    keep[1:] = (v[1:] != v[:-1]) | (s[1:] != s[:-1])
+    v, s = v[keep], s[keep]
+    return v, np.bincount(s, minlength=n)
+
+
+def batch_shingle_jaccard(ta_flat: np.ndarray, ta_off: np.ndarray,
+                          tb_flat: np.ndarray, tb_off: np.ndarray,
+                          k: int) -> np.ndarray:
+    """Exact k-shingle-set Jaccard for a whole block of pairs at once:
+    TWO shingle_hashes calls (one per side) instead of two per pair,
+    then vectorized per-segment set unique + intersection.  Value-
+    identical to ``exact_shingle_jaccard`` row by row (same shingle
+    hashing, same integer set math, same division)."""
+    from nxsearch_ray.functions import hashing as H
+
+    n = len(ta_off) - 1
+    sha, offa = H.shingle_hashes(ta_flat, np.asarray(ta_off, np.int64), k)
+    shb, offb = H.shingle_hashes(tb_flat, np.asarray(tb_off, np.int64), k)
+    ua, ca = _seg_unique(sha, offa, n)
+    ub, cb = _seg_unique(shb, offb, n)
+    # Each side is unique within a segment, so an adjacent (seg, value)
+    # duplicate in the merged sorted stream means "present in both".
+    seg = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), ca),
+                          np.repeat(np.arange(n, dtype=np.int64), cb)])
+    val = np.concatenate([ua, ub])
+    order = np.lexsort((val, seg))
+    seg_s, val_s = seg[order], val[order]
+    dup = (seg_s[1:] == seg_s[:-1]) & (val_s[1:] == val_s[:-1])
+    inter = np.bincount(seg_s[1:][dup], minlength=n)
+    union = ca + cb - inter
+    out = np.zeros(n, dtype=np.float64)
+    nz = union > 0
+    out[nz] = inter[nz] / union[nz]
+    return out
+
+
+def batch_exact_adjudicate(ta_flat: np.ndarray, ta_off: np.ndarray,
+                           tb_flat: np.ndarray, tb_off: np.ndarray,
+                           cfg: PipelineConfig
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Block-batched ``exact_adjudicate``: vectorized shingle Jaccard
+    across all pairs decides first; the pure-Python suffix-automaton
+    LCS runs only for the borderline remainder (jac < threshold).
+    Decision- and value-identical to the scalar kernel per row."""
+    ta_off = np.asarray(ta_off, dtype=np.int64)
+    tb_off = np.asarray(tb_off, dtype=np.int64)
+    n = len(ta_off) - 1
+    m = np.minimum(ta_off[1:] - ta_off[:-1], tb_off[1:] - tb_off[:-1])
+    jac = batch_shingle_jaccard(ta_flat, ta_off, tb_flat, tb_off,
+                                cfg.shingle_k)
+    jac[m == 0] = 0.0
+    lcs = np.zeros(n, dtype=np.int32)
+    con = np.zeros(n, dtype=np.float64)
+    passed = (jac >= cfg.jaccard_threshold) & (m > 0)
+    lcs[passed] = -1
+    for i in np.flatnonzero(~passed & (m > 0)):
+        length = lcs_tokens(ta_flat[ta_off[i]:ta_off[i + 1]].tolist(),
+                            tb_flat[tb_off[i]:tb_off[i + 1]].tolist())
+        lcs[i] = length
+        con[i] = length / int(m[i])
+    return lcs, con, jac
+
+
 def exact_shingle_jaccard(ta: np.ndarray, tb: np.ndarray,
                           k: int) -> float:
     """Exact Jaccard of the two docs' k-shingle sets (recomputed from
@@ -126,12 +220,10 @@ def exact_containment_table(pairs: pa.Table, idx: TokenIndex,
     jaccard_threshold (the borderline-est_j rescue)."""
     a = pairs.column("a").to_numpy()
     b = pairs.column("b").to_numpy()
-    lcs = np.zeros(len(a), dtype=np.int32)
-    con = np.zeros(len(a), dtype=np.float64)
-    jac = np.zeros(len(a), dtype=np.float64)
-    for i in range(len(a)):
-        lcs[i], con[i], jac[i] = exact_adjudicate(
-            idx.tokens_for(int(a[i])), idx.tokens_for(int(b[i])), cfg)
+    ta_flat, ta_off = idx.gather(a)
+    tb_flat, tb_off = idx.gather(b)
+    lcs, con, jac = batch_exact_adjudicate(
+        ta_flat, ta_off, tb_flat, tb_off, cfg)
     keep = (con >= cfg.containment_threshold) | \
         (jac >= cfg.jaccard_threshold)
     src = (pairs.column("source").cast(pa.string())
@@ -214,13 +306,8 @@ def suffix_verify_bucketed(pairs_ds, canonical_ds, cfg: PipelineConfig,
             return SUFFIX_PAIR_SCHEMA.empty_table()
         ta_flat, ta_off = list_column_numpy(t.column("token_ids_a"))
         tb_flat, tb_off = list_column_numpy(t.column("token_ids_b"))
-        lcs = np.zeros(t.num_rows, dtype=np.int32)
-        con = np.zeros(t.num_rows, dtype=np.float64)
-        jac = np.zeros(t.num_rows, dtype=np.float64)
-        for i in range(t.num_rows):
-            lcs[i], con[i], jac[i] = exact_adjudicate(
-                ta_flat[ta_off[i]:ta_off[i + 1]],
-                tb_flat[tb_off[i]:tb_off[i + 1]], c)
+        lcs, con, jac = batch_exact_adjudicate(
+            ta_flat, ta_off, tb_flat, tb_off, c)
         keep = (con >= c.containment_threshold) | \
             (jac >= c.jaccard_threshold)
         out = pa.Table.from_arrays(
