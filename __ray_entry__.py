@@ -224,6 +224,23 @@ def q_ann_topk_lsh(sf_dir: str):
         ["qid", "vec_id"])
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    import ray
+    import ray.data
+
+    from nxsearch_ray.stages.ann import ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qref = ray.put(_query_vectors(sf_dir))
+    # nlist=16/nprobe=8: scan ~half the lists.  The sandbox embeddings
+    # are near-random so the coarse quantizer carves thin Voronoi
+    # cells; on real clustered embeddings nlist ~ sqrt(n), nprobe ~
+    # nlist/8 gives the usual 10-20x scan reduction.
+    return ivf_topk(ds, qref, _ANN_K, nlist=16, nprobe=8) \
+        .select_columns(["qid", "vec_id"])
+
+
 def q_dedup_clusters(sf_dir: str):
     from nxsearch_ray.pipelines.dedup import clusters_as_table
 
@@ -491,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "dedup_clusters": q_dedup_clusters,
         "dedup_pairs": q_dedup_pairs,
         "cluster_sizes": q_cluster_sizes,

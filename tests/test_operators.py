@@ -260,6 +260,41 @@ def test_lsh_topk_recall(ray_session):
     assert len(a & e) >= 1
 
 
+def test_ivf_topk_recall(ray_session):
+    """IVF-flat plan: probing all lists must reproduce brute force
+    exactly; probing half the lists must keep recall >= 0.5 and always
+    retain the query point itself (it shares its own list)."""
+    import ray
+    import ray.data as rd
+
+    from nxsearch_ray.stages.ann import brute_force_topk, ivf_topk
+    from nxsearch_ray.stages.signatures import list_column_numpy
+
+    t = _rand_embeddings(n=400)
+    flat, off = list_column_numpy(t.column("embedding"),
+                                  dtype=np.float64)
+    mat = flat.reshape(len(t), -1)
+    qref = ray.put({"qids": np.array([3]), "vectors": mat[3:4]})
+    exact = brute_force_topk(rd.from_arrow(t), qref, 5)
+    e = {r["vec_id"] for r in pa.concat_tables(
+        exact.iter_batches(batch_size=100, batch_format="pyarrow")
+    ).to_pylist()}
+
+    # nprobe == nlist: every list scanned -> identical to brute force
+    full = ivf_topk(rd.from_arrow(t), qref, 5, nlist=8, nprobe=8)
+    f = {r["vec_id"] for r in pa.concat_tables(
+        full.iter_batches(batch_size=100, batch_format="pyarrow")
+    ).to_pylist()}
+    assert f == e
+
+    approx = ivf_topk(rd.from_arrow(t), qref, 5, nlist=8, nprobe=4)
+    a = {r["vec_id"] for r in pa.concat_tables(
+        approx.iter_batches(batch_size=100, batch_format="pyarrow")
+    ).to_pylist()}
+    assert 3 in a
+    assert len(a & e) >= len(e) // 2
+
+
 def test_embedding_dup_exact(ray_session):
     import ray
     import ray.data as rd
