@@ -1,0 +1,55 @@
+"""Driver-contract checks for __ray_entry__.
+
+The driver calls ray.init() itself, imports this module and runs
+entry()/queries()/oracle_sql(); the correctness gate compares each
+queries() result against its oracle_sql() by sorted-column value
+hash.  These tests pin the contract shape so a refactor can't break
+the graded surface silently.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __ray_entry__ as entry_mod  # noqa: E402
+
+
+def test_oracle_keys_subset_of_queries():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    missing = set(o) - set(q)
+    assert not missing, f"oracle_sql keys without queries(): {missing}"
+    # every callable takes one positional sf_dir argument
+    for name, fn in q.items():
+        assert callable(fn), name
+
+
+def test_expected_query_inventory():
+    """The graded operator inventory — adding is fine, silently losing
+    an entry is not."""
+    q = set(entry_mod.queries())
+    expected = {
+        "pages_build", "extract_text", "exact_dedup", "doc_stats",
+        "lang_counts", "ngram_jaccard", "fingerprint", "ann_topk",
+        "ann_topk_lsh", "ann_topk_ivf", "dedup_clusters", "dedup_pairs",
+        "cluster_sizes", "signatures", "canonicalize", "langid",
+        "image_features", "embedding_dups", "embedding_dups_lsh",
+        "query_probe", "bucket_census",
+    }
+    missing = expected - q
+    assert not missing, f"queries() lost entries: {missing}"
+
+
+def test_entry_smoke(ray_session):
+    """entry() must run on an externally-initialised Ray session and
+    yield >= 0 rows with a stable schema (the driver's smoke check)."""
+    out = entry_mod.entry()
+    if hasattr(out, "schema"):          # ray.data.Dataset
+        n = out.count()
+        assert out.schema() is not None
+    else:                               # pandas.DataFrame
+        n = len(out)
+    assert n >= 0
