@@ -292,9 +292,10 @@ def run_dedup_incremental(pages_ds, cfg: PipelineConfig | None = None,
     chain policy, where a new member changes which pairs a bucket
     emits.)
 
-    The known-id set is ray.put as one sorted int64 array (8 B/doc);
-    beyond single-node memory, swap the anti-join for the bucketed
-    pair_join on page_id."""
+    The known-id set is built in one remote task and broadcast via the
+    object store (8 B/doc; the driver never holds it); beyond
+    single-node memory, swap the anti-join for the bucketed pair_join
+    on page_id."""
     import shutil
 
     import numpy as np
@@ -306,16 +307,23 @@ def run_dedup_incremental(pages_ds, cfg: PipelineConfig | None = None,
         return run_dedup(pages_ds, cfg, out_dir=out_dir, **run_kw)
 
     prior = load_stage(out_dir, "signatures")
-    id_chunks = [b.column("page_id").to_numpy()
-                 for b in prior.select_columns(["page_id"])
-                 .iter_batches(batch_size=1 << 20,
-                               batch_format="pyarrow")]
-    known = np.unique(np.concatenate(id_chunks)) if id_chunks \
-        else np.empty(0, np.int64)
+    id_refs = prior.select_columns(["page_id"]).to_arrow_refs()
+
+    @ray.remote
+    def _known_ids(*blocks):
+        blocks = [b for b in blocks if b.num_columns > 0]
+        if not blocks:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(
+            [b.column("page_id").to_numpy() for b in blocks]))
+
+    known_ref = _known_ids.remote(*id_refs)
+    n_known = int(ray.get(
+        ray.remote(lambda a: len(a)).remote(known_ref)))
 
     from nxsearch_ray.stages.join import anti_join
 
-    new_pages = anti_join(pages_ds, "page_id", known)
+    new_pages = anti_join(pages_ds, "page_id", known_ref)
     new_sigs = canonsig_stage(new_pages, cfg)
     combined = pin_blocks(prior.union(new_sigs))
     n_total = combined.count()
@@ -330,8 +338,8 @@ def run_dedup_incremental(pages_ds, cfg: PipelineConfig | None = None,
     write_stage(combined, out_dir, "signatures", cfg)
 
     result = run_dedup(pages_ds, cfg, out_dir=out_dir, **run_kw)
-    result.stats["incremental_known_pages"] = int(len(known))
-    result.stats["incremental_new_pages"] = int(n_total - len(known))
+    result.stats["incremental_known_pages"] = n_known
+    result.stats["incremental_new_pages"] = int(n_total - n_known)
     return result
 
 

@@ -29,11 +29,18 @@ def _key_filter(ds, key: str, key_values, keep_matches: bool):
     """Shared body of semi/anti join: broadcast the key SET once
     (`ray.put`), filter inside map_batches — no shuffle (the
     reference's AND-NOT bitmap algebra analogue, reference
-    src/query/search.c:165-167, as a broadcast filter)."""
+    src/query/search.c:165-167, as a broadcast filter).
+
+    ``key_values`` may also be an ``ObjectRef`` to a SORTED UNIQUE
+    int64 array built off-driver (the driver then never holds the
+    set)."""
     import ray
 
-    keys = np.unique(np.asarray(key_values, dtype=np.int64))
-    ref = ray.put(keys)
+    if isinstance(key_values, ray.ObjectRef):
+        ref = key_values
+    else:
+        keys = np.unique(np.asarray(key_values, dtype=np.int64))
+        ref = ray.put(keys)
 
     def fn(t: pa.Table) -> pa.Table:
         want = ray.get(ref)

@@ -274,16 +274,23 @@ def suffix_verify_bucketed(pairs_ds, canonical_ds, cfg: PipelineConfig,
     # semi-join: only a tiny fraction of docs appear in screen-passing
     # pairs, so broadcast the needed page-id SET (ids only — tiny even
     # when payloads are not) and prune the canonical side before the
-    # payload-carrying sort.  Classic semi-join reduction.
+    # payload-carrying sort.  Classic semi-join reduction.  The set is
+    # built in ONE remote task (the driver never holds it) and read
+    # zero-copy from the object store by every prune task.
     pairs_ds = pairs_ds.materialize()
-    id_chunks = [np.concatenate([t.column("a").to_numpy(),
-                                 t.column("b").to_numpy()])
-                 for t in pairs_ds.select_columns(["a", "b"])
-                 .iter_batches(batch_size=1 << 20,
-                               batch_format="pyarrow")]
-    needed = np.unique(np.concatenate(id_chunks)) if id_chunks \
-        else np.empty(0, np.int64)
-    needed_ref = ray.put(needed)
+    id_refs = pairs_ds.select_columns(["a", "b"]).to_arrow_refs()
+
+    @ray.remote
+    def _needed_ids(*blocks):
+        blocks = [b for b in blocks if b.num_columns > 0]
+        if not blocks:
+            return np.empty(0, np.int64)
+        chunks = [np.concatenate([t.column("a").to_numpy(),
+                                  t.column("b").to_numpy()])
+                  for t in blocks]
+        return np.unique(np.concatenate(chunks))
+
+    needed_ref = _needed_ids.remote(*id_refs)
 
     def prune(t: pa.Table) -> pa.Table:
         ids = t.column("page_id").to_numpy()
