@@ -321,6 +321,32 @@ def q_image_features(sf_dir: str):
         ["page_id", "width", "height", "payload_bytes"])
 
 
+def q_audio_features(sf_dir: str):
+    from nxsearch_ray.stages.multimodal import audio_features_stage
+
+    # html binary payloads stand in for audio bytes; the deterministic
+    # metadata columns (16 kHz mono s16 assumption) are SQL-oracled,
+    # the hash-derived feature vector is covered by pytest
+    ds = _pages(sf_dir).select_columns(["page_id", "html"])
+    out = audio_features_stage(ds, binary_col="html",
+                               deterministic_fake=True)
+    return out.select_columns(
+        ["page_id", "sample_rate", "duration_s", "payload_bytes"])
+
+
+def q_video_frames(sf_dir: str):
+    from nxsearch_ray.stages.multimodal import video_frame_sample_stage
+
+    # html payloads stand in for video bytes: 4 uniformly-sampled
+    # frames per page; frame timing is SQL-oracled, frame bytes are
+    # covered by pytest
+    ds = _pages(sf_dir).select_columns(["page_id", "html"])
+    out = video_frame_sample_stage(ds, 4, frame_bytes=1024,
+                                   binary_col="html",
+                                   deterministic_fake=True)
+    return out.select_columns(["page_id", "frame_idx", "pts_s"])
+
+
 def _corpus_vectors(sf_dir: str) -> dict:
     import pyarrow.parquet as pq
 
@@ -517,6 +543,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize_plain": q_canonicalize_plain,
         "langid": q_langid,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "query_probe": q_query_probe,
@@ -577,6 +605,22 @@ WHERE n_common > 0
   AND n_common::DOUBLE / (size_a + size_b - n_common) >= 0.5
 """,
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "audio_features": f"""
+WITH {PAGES_CTE}
+SELECT page_id, 16000 AS sample_rate,
+       (strlen(url) + strlen(text) + 61) / 32000.0 AS duration_s,
+       (strlen(url) + strlen(text) + 61)::BIGINT AS payload_bytes
+FROM pages
+""",
+        "video_frames": f"""
+WITH {PAGES_CTE},
+f AS (SELECT page_id,
+             (strlen(url) + strlen(text) + 61)::BIGINT AS nb
+      FROM pages)
+SELECT page_id, (i - 1)::INTEGER AS frame_idx,
+       (greatest(nb // 1024, 1) / 30.0) * (i - 1) / 4 AS pts_s
+FROM f, generate_series(1, 4) AS t(i)
+""",
         "langid": f"""
 WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
 words AS (SELECT doc_id,

@@ -104,3 +104,203 @@ def image_features_stage(ds, *, binary_col: str = "payload",
                                    deterministic_fake=deterministic_fake),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+def _require_or_fake(module: str, deterministic_fake: bool):
+    """Import the real decode library or raise the stub contract."""
+    if deterministic_fake:
+        return None
+    try:
+        return __import__(module)
+    except ImportError as e:
+        raise NotImplementedError(
+            f"real decode requires {module}, which is not in this "
+            "environment; construct with deterministic_fake=True to "
+            "exercise the pipeline plumbing") from e
+
+
+IMAGE_RESIZE_SCHEMA = pa.schema([
+    ("page_id", pa.int64()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("payload", pa.binary()),
+])
+
+
+class ImageResizeActor:
+    """Resize stage: binary image in → binary (target_w × target_h × 3)
+    image out.  Fake path: the output buffer is a deterministic
+    stride-gather over the input bytes (cyclic when the input is
+    smaller), so downstream stages see REAL target-sized payloads —
+    the memory/batching behavior of a resize stage without a codec."""
+
+    def __init__(self, target_w: int, target_h: int, *,
+                 binary_col: str = "payload", id_col: str = "page_id",
+                 deterministic_fake: bool = False):
+        self.tw, self.th = int(target_w), int(target_h)
+        self.binary_col = binary_col
+        self.id_col = id_col
+        self._lib = _require_or_fake("PIL", deterministic_fake)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nbytes = self.tw * self.th * 3
+        out: list[bytes] = []
+        for p in batch.column(self.binary_col).to_pylist():
+            p = p or b"\x00"
+            src = np.frombuffer(p, dtype=np.uint8)
+            idx = (np.arange(nbytes, dtype=np.int64)
+                   * max(len(src) // max(nbytes, 1), 1)) % len(src)
+            out.append(src[idx].tobytes())
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [batch.column(self.id_col).cast(pa.int64()),
+             pa.array(np.full(n, self.tw, dtype=np.int32)),
+             pa.array(np.full(n, self.th, dtype=np.int32)),
+             pa.array(out, type=pa.binary())],
+            schema=IMAGE_RESIZE_SCHEMA)
+
+
+def image_resize_stage(ds, target_w: int, target_h: int, *,
+                       binary_col: str = "payload",
+                       id_col: str = "page_id",
+                       deterministic_fake: bool = False,
+                       concurrency=(1, 4), batch_size: int = 64):
+    return ds.map_batches(
+        ImageResizeActor,
+        fn_constructor_args=(target_w, target_h),
+        fn_constructor_kwargs=dict(binary_col=binary_col, id_col=id_col,
+                                   deterministic_fake=deterministic_fake),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+AUDIO_FEATURES_SCHEMA = pa.schema([
+    ("page_id", pa.int64()),
+    ("sample_rate", pa.int32()),
+    ("duration_s", pa.float64()),
+    ("payload_bytes", pa.int64()),
+    ("features", pa.list_(pa.float32(), FEATURE_DIM)),
+])
+
+
+class AudioFeatureActor:
+    """Audio decode + feature-extract (MFCC-shaped output).  Fake
+    path: 16 kHz mono s16 is assumed (duration = bytes / 32000) and
+    the feature vector derives from the payload hash — deterministic,
+    so two byte-identical clips always collide downstream."""
+
+    def __init__(self, *, binary_col: str = "payload",
+                 id_col: str = "page_id",
+                 deterministic_fake: bool = False):
+        self.binary_col = binary_col
+        self.id_col = id_col
+        self._lib = _require_or_fake("soundfile", deterministic_fake)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [p or b"" for p in
+                    batch.column(self.binary_col).to_pylist()]
+        lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                           count=len(payloads))
+        flat = np.frombuffer(b"".join(payloads), dtype=np.uint8) \
+            .astype(np.uint64)
+        offsets = np.zeros(len(payloads) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        h = sequence_hashes(flat, offsets)
+        feats = np.empty((len(payloads), FEATURE_DIM), dtype=np.float32)
+        for j in range(FEATURE_DIM):
+            feats[:, j] = (splitmix64(h ^ np.uint64(0xA0D10 + j))
+                           .astype(np.float64) / 2.0 ** 64)
+        return pa.Table.from_arrays(
+            [batch.column(self.id_col).cast(pa.int64()),
+             pa.array(np.full(len(payloads), 16000, dtype=np.int32)),
+             pa.array(lens.astype(np.float64) / 32000.0),
+             pa.array(lens),
+             pa.FixedSizeListArray.from_arrays(
+                 pa.array(feats.reshape(-1)), FEATURE_DIM)],
+            schema=AUDIO_FEATURES_SCHEMA)
+
+
+def audio_features_stage(ds, *, binary_col: str = "payload",
+                         id_col: str = "page_id",
+                         deterministic_fake: bool = False,
+                         concurrency=(1, 4), batch_size: int = 64):
+    return ds.map_batches(
+        AudioFeatureActor,
+        fn_constructor_kwargs=dict(binary_col=binary_col, id_col=id_col,
+                                   deterministic_fake=deterministic_fake),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+VIDEO_FRAMES_SCHEMA = pa.schema([
+    ("page_id", pa.int64()),
+    ("frame_idx", pa.int32()),
+    ("pts_s", pa.float64()),
+    ("frame", pa.binary()),
+])
+
+
+class VideoFrameSampleActor:
+    """Frame-sample stage: one input video row explodes to
+    ``num_frames`` frame rows (uniform temporal sampling) — the
+    row-expanding layout a real extractor produces, so downstream
+    batch sizing / shuffle costs are representative.  Fake path: frame
+    i is a deterministic byte window at offset i/num_frames into the
+    payload; pts assumes 30 fps over a bytes-proportional duration."""
+
+    FPS = 30.0
+
+    def __init__(self, num_frames: int, *, frame_bytes: int = 1024,
+                 binary_col: str = "payload", id_col: str = "page_id",
+                 deterministic_fake: bool = False):
+        self.num_frames = int(num_frames)
+        self.frame_bytes = int(frame_bytes)
+        self.binary_col = binary_col
+        self.id_col = id_col
+        self._lib = _require_or_fake("av", deterministic_fake)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        fidx: list[int] = []
+        pts: list[float] = []
+        frames: list[bytes] = []
+        ids = batch.column(self.id_col).to_pylist()
+        for pid, p in zip(ids,
+                          batch.column(self.binary_col).to_pylist()):
+            p = p or b"\x00"
+            n_total_frames = max(len(p) // self.frame_bytes, 1)
+            dur = n_total_frames / self.FPS
+            for i in range(self.num_frames):
+                start = (i * len(p)) // self.num_frames
+                chunk = p[start:start + self.frame_bytes]
+                if len(chunk) < self.frame_bytes:   # cyclic pad
+                    chunk = (chunk + p * (self.frame_bytes // len(p) + 1)
+                             )[:self.frame_bytes]
+                ids_out.append(int(pid))
+                fidx.append(i)
+                pts.append(dur * i / self.num_frames)
+                frames.append(chunk)
+        return pa.Table.from_arrays(
+            [pa.array(ids_out, type=pa.int64()),
+             pa.array(fidx, type=pa.int32()),
+             pa.array(pts, type=pa.float64()),
+             pa.array(frames, type=pa.binary())],
+            schema=VIDEO_FRAMES_SCHEMA)
+
+
+def video_frame_sample_stage(ds, num_frames: int, *,
+                             frame_bytes: int = 1024,
+                             binary_col: str = "payload",
+                             id_col: str = "page_id",
+                             deterministic_fake: bool = False,
+                             concurrency=(1, 4), batch_size: int = 16):
+    """batch_size is SMALL: each input row multiplies into
+    ``num_frames`` output rows of ``frame_bytes`` each."""
+    return ds.map_batches(
+        VideoFrameSampleActor,
+        fn_constructor_args=(num_frames,),
+        fn_constructor_kwargs=dict(frame_bytes=frame_bytes,
+                                   binary_col=binary_col, id_col=id_col,
+                                   deterministic_fake=deterministic_fake),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -426,6 +426,93 @@ def test_image_features_requires_lib_without_fake():
         ImageFeatureActor(deterministic_fake=False)
 
 
+def test_image_resize_fake(ray_session):
+    import ray.data as rd
+
+    from nxsearch_ray.stages.multimodal import (
+        IMAGE_RESIZE_SCHEMA,
+        image_resize_stage,
+    )
+
+    t = pa.table({"page_id": [1, 2],
+                  "payload": [b"jpegbytes" * 100, b"y"]})
+    out = image_resize_stage(rd.from_arrow(t), 8, 6,
+                             deterministic_fake=True)
+    got = pa.concat_tables(out.iter_batches(batch_size=10,
+                                            batch_format="pyarrow"))
+    assert got.schema.equals(IMAGE_RESIZE_SCHEMA)
+    rows = sorted(got.to_pylist(), key=lambda r: r["page_id"])
+    # every output payload is exactly the target buffer size,
+    # regardless of input size (even 1-byte inputs)
+    assert all(len(r["payload"]) == 8 * 6 * 3 for r in rows)
+    assert rows[1]["payload"] == b"y" * (8 * 6 * 3)
+    # deterministic: same input -> same output
+    got2 = pa.concat_tables(
+        image_resize_stage(rd.from_arrow(t), 8, 6,
+                           deterministic_fake=True)
+        .iter_batches(batch_size=10, batch_format="pyarrow"))
+    assert got.sort_by("page_id").equals(got2.sort_by("page_id"))
+
+
+def test_audio_features_fake(ray_session):
+    import ray.data as rd
+
+    from nxsearch_ray.stages.multimodal import (
+        AUDIO_FEATURES_SCHEMA,
+        audio_features_stage,
+    )
+
+    t = pa.table({"page_id": [7, 8],
+                  "payload": [b"\x01\x02" * 16000, b""]})
+    out = audio_features_stage(rd.from_arrow(t),
+                               deterministic_fake=True)
+    got = pa.concat_tables(out.iter_batches(batch_size=10,
+                                            batch_format="pyarrow"))
+    assert got.schema.equals(AUDIO_FEATURES_SCHEMA)
+    rows = sorted(got.to_pylist(), key=lambda r: r["page_id"])
+    assert rows[0]["duration_s"] == pytest.approx(1.0)  # 32000 B @ s16/16k
+    assert rows[1]["duration_s"] == 0.0
+    assert all(len(r["features"]) == 8 for r in rows)
+
+
+def test_video_frame_sample_fake(ray_session):
+    import ray.data as rd
+
+    from nxsearch_ray.stages.multimodal import (
+        VIDEO_FRAMES_SCHEMA,
+        video_frame_sample_stage,
+    )
+
+    t = pa.table({"page_id": [3], "payload": [bytes(range(256)) * 64]})
+    out = video_frame_sample_stage(rd.from_arrow(t), 4, frame_bytes=128,
+                                   deterministic_fake=True)
+    got = pa.concat_tables(out.iter_batches(batch_size=100,
+                                            batch_format="pyarrow"))
+    assert got.schema.equals(VIDEO_FRAMES_SCHEMA)
+    rows = sorted(got.to_pylist(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert all(len(r["frame"]) == 128 for r in rows)
+    assert all(r["page_id"] == 3 for r in rows)
+    # pts strictly increasing, starting at 0
+    pts = [r["pts_s"] for r in rows]
+    assert pts[0] == 0.0 and all(b > a for a, b in zip(pts, pts[1:]))
+
+
+def test_multimodal_stages_require_lib_without_fake():
+    from nxsearch_ray.stages.multimodal import (
+        AudioFeatureActor,
+        ImageResizeActor,
+        VideoFrameSampleActor,
+    )
+
+    with pytest.raises(NotImplementedError):
+        ImageResizeActor(8, 6, deterministic_fake=False)
+    with pytest.raises(NotImplementedError):
+        AudioFeatureActor(deterministic_fake=False)
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleActor(4, deterministic_fake=False)
+
+
 # ----------------------------------------------------------------- join
 
 def test_hash_join_correct(ray_session):
