@@ -313,12 +313,14 @@ def q_image_features(sf_dir: str):
     from nxsearch_ray.stages.multimodal import image_features_stage
 
     # html binary payloads stand in for image bytes: the plumbing
-    # (schema/batching/actor lifecycle) is what's under test
+    # (schema/batching/actor lifecycle) is what's under test.  The
+    # deterministic metadata columns (channels, payload_bytes) are
+    # SQL-oracled; width/height/features are hash-derived fakes and
+    # covered by pytest instead.
     ds = _pages(sf_dir).select_columns(["page_id", "html"])
     out = image_features_stage(ds, binary_col="html",
                                deterministic_fake=True)
-    return out.select_columns(
-        ["page_id", "width", "height", "payload_bytes"])
+    return out.select_columns(["page_id", "channels", "payload_bytes"])
 
 
 def q_audio_features(sf_dir: str):
@@ -605,6 +607,12 @@ WHERE n_common > 0
   AND n_common::DOUBLE / (size_a + size_b - n_common) >= 0.5
 """,
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "image_features": f"""
+WITH {PAGES_CTE}
+SELECT page_id, 3 AS channels,
+       (strlen(url) + strlen(text) + 61)::BIGINT AS payload_bytes
+FROM pages
+""",
         "audio_features": f"""
 WITH {PAGES_CTE}
 SELECT page_id, 16000 AS sample_rate,

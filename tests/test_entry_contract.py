@@ -36,7 +36,8 @@ def test_expected_query_inventory():
         "lang_counts", "ngram_jaccard", "fingerprint", "ann_topk",
         "ann_topk_lsh", "ann_topk_ivf", "dedup_clusters", "dedup_pairs",
         "cluster_sizes", "signatures", "canonicalize", "langid",
-        "image_features", "embedding_dups", "embedding_dups_lsh",
+        "image_features", "audio_features", "video_frames",
+        "embedding_dups", "embedding_dups_lsh",
         "query_probe", "bucket_census",
     }
     missing = expected - q
