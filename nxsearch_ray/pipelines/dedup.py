@@ -343,6 +343,68 @@ def run_dedup_incremental(pages_ds, cfg: PipelineConfig | None = None,
     return result
 
 
+def run_dedup_remove(removed_page_ids, cfg: PipelineConfig | None = None,
+                     *, out_dir: str, **run_kw) -> DedupResult:
+    """Document deletion — the batch analogue of the reference's
+    tombstone replay (reference src/index/dtmap.c:28-38 zero-in-place
+    doc_id + appended ``(doc_id, 0)`` tombstone, replayed by
+    ``idx_dtmap_remove`` at 546-655): the removed pages' rows are
+    dropped from the ``signatures`` checkpoint (their canonicalization
+    is never redone — nothing else about them persists), the stale
+    pair/cluster checkpoints are invalidated, and the shuffle stages
+    re-run over the surviving signature set.
+
+    Exactly equal to a full recompute without the removed pages.
+    Re-running the shuffles rather than filtering prior pairs is
+    required for exactness: under the hot-bucket chain policy a
+    member's removal changes which pairs its bucket emits (a chain
+    through a removed doc must be re-stitched), and cluster ids are
+    min-page_ids that may themselves be removed.
+
+    ``removed_page_ids`` — iterable of int64 page ids, or an
+    ``ObjectRef`` to a sorted unique int64 array built off-driver."""
+    import shutil
+
+    import numpy as np
+    import ray
+
+    cfg = cfg or PipelineConfig()
+    if not is_complete(out_dir, "signatures", cfg):
+        raise FileNotFoundError(
+            f"no valid signatures checkpoint under {out_dir!r} for "
+            "this config — deletion needs a prior run to delete from")
+
+    from nxsearch_ray.stages.join import anti_join
+    from nxsearch_ray.state.lineage import stage_dir, write_stage
+
+    if isinstance(removed_page_ids, ray.ObjectRef):
+        removed_ref = removed_page_ids
+        n_requested = int(ray.get(
+            ray.remote(lambda a: len(a)).remote(removed_ref)))
+    else:
+        removed = np.unique(np.asarray(list(removed_page_ids),
+                                       dtype=np.int64))
+        n_requested = len(removed)
+        removed_ref = ray.put(removed)
+
+    prior = load_stage(out_dir, "signatures")
+    n_prior = prior.count()          # parquet metadata, no execution
+    surviving = pin_blocks(anti_join(prior, "page_id", removed_ref))
+    n_after = surviving.count()
+
+    for stage in ("verified_pairs", "clusters"):
+        shutil.rmtree(stage_dir(out_dir, stage), ignore_errors=True)
+    write_stage(surviving, out_dir, "signatures", cfg)
+
+    # the freshly written signatures checkpoint is valid by
+    # construction, so run_dedup never invokes its pages factory —
+    # deletion has no pages input
+    result = run_dedup(None, cfg, out_dir=out_dir, **run_kw)
+    result.stats["removed_requested"] = n_requested
+    result.stats["removed_found"] = int(n_prior - n_after)
+    return result
+
+
 def clusters_as_table(result: DedupResult) -> pa.Table:
     import numpy as np
 

@@ -170,3 +170,42 @@ def test_incremental_ingest(ray_session, corpus, corpus_dir, oracle,
     assert _cluster_dict(res) == labels
     assert _pair_set(res) == opairs
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_remove_docs(ray_session, corpus, corpus_dir, oracle, tmp_path):
+    """Document deletion (reference tombstone-replay analogue,
+    dtmap.c:546-655): delete pages from a checkpointed run — including
+    a cluster's min-id representative, so cluster ids must re-derive —
+    and the output must be IDENTICAL to a full recompute without them,
+    with the signature stage resumed (canonicalization never redone)."""
+    from nxsearch_ray.pipelines.dedup import run_dedup_remove
+
+    labels, _ = oracle
+    out = str(tmp_path / "rm")
+    cfg = PipelineConfig()
+    run_dedup(_pages_ds(corpus_dir), cfg, out_dir=out)
+
+    # removed set: the min-id member of the largest cluster (forces a
+    # cluster-id change), one full small cluster, plus every 37th page
+    by_cluster: dict[int, list[int]] = {}
+    for pid, cid in labels.items():
+        by_cluster.setdefault(cid, []).append(pid)
+    sized = sorted(by_cluster.values(), key=len)
+    removed = {min(sized[-1])}                      # biggest cluster's rep
+    multi = [m for m in sized if len(m) > 1]
+    removed.update(multi[0])                        # a whole small cluster
+    all_ids = sorted(labels)
+    removed.update(all_ids[::37])
+    removed_ids = sorted(removed)
+
+    res = run_dedup_remove(removed_ids, cfg, out_dir=out)
+    assert res.stats["removed_found"] == len(removed_ids)
+    assert res.stats["signatures_resumed"]
+
+    keep = pa.array([pid not in removed
+                     for pid in corpus.column("page_id").to_pylist()])
+    exp_labels, exp_pairs = oracle_clusters(corpus.filter(keep),
+                                            PipelineConfig())
+    assert _cluster_dict(res) == exp_labels
+    assert _pair_set(res) == exp_pairs
+    shutil.rmtree(out, ignore_errors=True)
