@@ -25,6 +25,11 @@ class PipelineConfig:
     lang: str = "en"                     # ISO 639-1, like params["lang"]
     filters: tuple[str, ...] = DEFAULT_FILTERS
     lang_column: str = "lang"            # per-row language override column ("" = use `lang`)
+    # plugin files (.py, or .lua with lupa) registered under their file
+    # stem in every worker before pipelines build — the analogue of the
+    # reference's $NXS_BASEDIR/filters/*.lua scan
+    # (svc-src/nxsearch_svc.lua:24-34); names then usable in `filters`
+    plugin_files: tuple[str, ...] = ()
 
     # --- shingling / signatures ---
     shingle_k: int = 5                   # tokens per shingle
@@ -73,12 +78,14 @@ class PipelineConfig:
     def to_json(self) -> str:
         d = asdict(self)
         d["filters"] = list(self.filters)
+        d["plugin_files"] = list(self.plugin_files)
         return json.dumps(d, sort_keys=True)
 
     @classmethod
     def from_json(cls, s: str) -> "PipelineConfig":
         d = json.loads(s)
         d["filters"] = tuple(d["filters"])
+        d["plugin_files"] = tuple(d.get("plugin_files", ()))
         return cls(**d)
 
     def config_hash(self) -> str:

@@ -50,6 +50,10 @@ def register_filter(name: str, factory: Callable[[dict], TokenFilter]) -> None:
     _REGISTRY[name] = factory
 
 
+def filter_registered(name: str) -> bool:
+    return name in _REGISTRY
+
+
 def _normalizer_factory(params: dict) -> TokenFilter:
     # normalizer_filter: NFKC_Casefold then diacritics substitution
     # (reference src/core/filters_builtin.c:53-76).

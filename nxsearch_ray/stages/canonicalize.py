@@ -46,6 +46,12 @@ class CanonicalizeActor:
         elif isinstance(cfg, str):
             cfg = PipelineConfig.from_json(cfg)
         self.cfg = cfg
+        if cfg.plugin_files:
+            # per-worker plugin registration, like the reference's
+            # per-nginx-worker Lua filter init
+            from nxsearch_ray.functions.plugins import ensure_plugins
+
+            ensure_plugins(cfg.plugin_files)
         self.include_tokens = include_tokens
         self._pipelines: dict[str, object] = {}
         # lang -> {word -> (canonical_token | None)}
