@@ -518,6 +518,50 @@ def q_embedding_dups_lsh(sf_dir: str):
         else schema.empty_table()
 
 
+def q_domain_stats(sf_dir: str):
+    """Per-domain corpus census — the groupby every crawl audit runs:
+    page count and total text chars per host.  Native Count/Sum
+    aggregation after a vectorized host extraction; no Python rows."""
+    import pyarrow.compute as pc
+
+    def project(t: pa.Table) -> pa.Table:
+        host = pc.list_element(pc.split_pattern(t.column("url"), "/"), 2)
+        chars = pc.utf8_length(t.column("text")).cast(pa.int64())
+        return pa.table({"domain": host, "chars": chars})
+
+    keyed = _pages(sf_dir, include_html=False).map_batches(
+        project, batch_format="pyarrow")
+    agg = keyed.groupby("domain").aggregate(
+        _RAY_AGG.Count(), _RAY_AGG.Sum("chars"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["domain", "n_pages", "total_chars"]),
+        batch_format="pyarrow")
+
+
+def q_url_latest(sf_dir: str):
+    """Latest-wins canonical page per base URL (the `warc_ts` tiebreak
+    from SURVEY §2.8's canonical-doc selection), expressed with the
+    generic per-group top-k operator at k=1 — re-crawl dedup where the
+    newest capture of each URL survives."""
+    import pyarrow.compute as pc
+
+    from nxsearch_ray.stages.topk import topk_per_group
+
+    def project(t: pa.Table) -> pa.Table:
+        base = pc.replace_substring_regex(
+            t.column("url"), "/(copy|tail)$", "")
+        ts_us = t.column("warc_ts").cast(pa.int64())   # µs since epoch
+        return pa.table({"base_url": base,
+                         "page_id": t.column("page_id"),
+                         "warc_ts_us": ts_us})
+
+    keyed = _pages(sf_dir, include_html=False).map_batches(
+        project, batch_format="pyarrow")
+    return topk_per_group(keyed, group_col="base_url",
+                          order_col="warc_ts_us", tie_col="page_id",
+                          k=1)
+
+
 # ------------------------------------------------------------------
 
 def entry() -> Any:
@@ -556,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "fuzzy_lookup": q_fuzzy_lookup,
         "topk_events": q_topk_events,
+        "domain_stats": q_domain_stats,
+        "url_latest": q_url_latest,
     }
 
 
@@ -741,5 +787,22 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        list_cosine_similarity(a.v, b.v) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+""",
+        "domain_stats": f"""
+WITH {PAGES_CTE}
+SELECT split_part(url, '/', 3) AS domain,
+       count(*) AS n_pages,
+       sum(length(text))::BIGINT AS total_chars
+FROM pages GROUP BY 1
+""",
+        "url_latest": f"""
+WITH {PAGES_CTE},
+k AS (SELECT regexp_replace(url, '/(copy|tail)$', '') AS base_url,
+             page_id, epoch_us(warc_ts) AS warc_ts_us
+      FROM pages)
+SELECT base_url, page_id, warc_ts_us FROM k
+QUALIFY row_number() OVER (PARTITION BY base_url
+                           ORDER BY warc_ts_us DESC,
+                                    page_id ASC) = 1
 """,
     }
