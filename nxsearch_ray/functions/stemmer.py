@@ -57,6 +57,23 @@ _STEP4_SUFFIXES = [
     "ion", "al", "er", "ic",
 ]
 
+# A suffix can only match when its last char equals the word's last
+# char, so bucketing by last char skips most endswith probes; relative
+# (longest-first) order inside each bucket is preserved, making the
+# scan result identical to the flat list's.
+def _by_last(pairs):
+    d: dict = {}
+    for p in pairs:
+        suf = p[0] if isinstance(p, tuple) else p
+        d.setdefault(suf[-1], []).append(p)
+    return d
+
+
+_STEP2_BY_LAST = _by_last(_STEP2_SUFFIXES)
+_STEP3_BY_LAST = _by_last(_STEP3_SUFFIXES)
+_STEP4_BY_LAST = _by_last(_STEP4_SUFFIXES)
+_EMPTY: tuple = ()
+
 
 def _is_vowel(word: str, i: int) -> bool:
     return word[i] in _VOWELS
@@ -181,10 +198,14 @@ def stem(word: str) -> str:
     ):
         word = word[:-1] + "i"
 
+    # Regions are recomputed only when a step changed the word — an
+    # unchanged word recomputes to the same (r1, r2), so this is
+    # output-identical to recomputing after every step.
+    prev = word
     r1, r2 = _regions(word)
 
     # Step 2 (longest suffix; condition: found in R1).
-    for suf, repl in _STEP2_SUFFIXES:
+    for suf, repl in _STEP2_BY_LAST.get(word[-1:], _EMPTY):
         if word.endswith(suf):
             if len(word) - len(suf) >= r1:
                 if suf == "ogi":
@@ -197,10 +218,12 @@ def stem(word: str) -> str:
                     word = word[: -len(suf)] + repl
             break
 
-    r1, r2 = _regions(word)
+    if word is not prev:
+        prev = word
+        r1, r2 = _regions(word)
 
     # Step 3 (longest suffix; condition: found in R1; "ative" needs R2).
-    for suf, repl in _STEP3_SUFFIXES:
+    for suf, repl in _STEP3_BY_LAST.get(word[-1:], _EMPTY):
         if word.endswith(suf):
             if len(word) - len(suf) >= r1:
                 if suf == "ative":
@@ -210,10 +233,12 @@ def stem(word: str) -> str:
                     word = word[: -len(suf)] + repl
             break
 
-    r1, r2 = _regions(word)
+    if word is not prev:
+        prev = word
+        r1, r2 = _regions(word)
 
     # Step 4 (longest suffix; condition: found in R2).
-    for suf in _STEP4_SUFFIXES:
+    for suf in _STEP4_BY_LAST.get(word[-1:], _EMPTY):
         if word.endswith(suf):
             if len(word) - len(suf) >= r2:
                 if suf == "ion":
@@ -223,7 +248,8 @@ def stem(word: str) -> str:
                     word = word[: -len(suf)]
             break
 
-    r1, r2 = _regions(word)
+    if word is not prev:
+        r1, r2 = _regions(word)
 
     # Step 5.
     if word.endswith("e"):
