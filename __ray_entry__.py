@@ -364,15 +364,18 @@ def _corpus_vectors(sf_dir: str) -> dict:
 
 
 def q_embedding_dups(sf_dir: str):
-    import ray
+    """Exact embedding near-dup pairs via the BLOCKED all-pairs plan
+    (block-pair tasks, no full-matrix broadcast — the scale-safe exact
+    plan); small block_rows so several blocks are exercised even at
+    sandbox scale."""
     import ray.data
 
-    from nxsearch_ray.stages.ann import embedding_dup_pairs_exact
+    from nxsearch_ray.stages.ann import embedding_dup_pairs_blocked
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    cref = ray.put(_corpus_vectors(sf_dir))
-    return embedding_dup_pairs_exact(ds, cref, threshold=_EMB_DUP_THR)
+    return embedding_dup_pairs_blocked(ds, threshold=_EMB_DUP_THR,
+                                       block_rows=1024)
 
 
 def q_query_probe(sf_dir: str):

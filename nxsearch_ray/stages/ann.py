@@ -300,6 +300,61 @@ def embedding_dup_pairs_exact(emb_ds, corpus_ref, *,
         concurrency=concurrency, num_cpus=1)
 
 
+def embedding_dup_pairs_blocked(emb_ds, *, threshold: float = 0.9,
+                                id_col: str = "vec_id",
+                                emb_col: str = "embedding",
+                                block_rows: int = 8192):
+    """Exact all-pairs cosine ≥ threshold — the distributed block-pair
+    plan: the corpus becomes B blocks pinned in the object store (one
+    repartition; the driver holds only refs), and B·(B+1)/2 remote
+    tasks each pull two blocks zero-copy and emit their pair fragment.
+    The O(n²) work is inherent to exactness; what this plan removes is
+    the broadcast-the-whole-matrix pattern of ``EmbeddingDupExact`` —
+    no process ever holds more than two blocks, so memory per task is
+    O(block_rows·dim) at any corpus size and the quadratic work spreads
+    evenly across the cluster."""
+    import ray
+    import ray.data as rd
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("cosine", pa.float64())])
+
+    n = emb_ds.count()
+    nblocks = max(1, -(-n // block_rows))
+    mat_refs = [r for r in emb_ds.select_columns([id_col, emb_col])
+                .repartition(nblocks).to_arrow_refs()]
+
+    @ray.remote
+    def block_pair(bi: pa.Table, bj: pa.Table, same: bool) -> pa.Table:
+        if bi.num_columns == 0 or bj.num_columns == 0 \
+                or bi.num_rows == 0 or bj.num_rows == 0:
+            return out_schema.empty_table()
+        ids_i = bi.column(id_col).to_numpy()
+        ids_j = bj.column(id_col).to_numpy()
+        mi = _normalize(_embedding_matrix(bi, emb_col))
+        mj = _normalize(_embedding_matrix(bj, emb_col))
+        sims = mi @ mj.T
+        ii, jj = np.nonzero(sims >= threshold)
+        a, b = ids_i[ii], ids_j[jj]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo < hi                   # drops self-pairs on same-block
+        lo, hi, cos = lo[keep], hi[keep], sims[ii, jj][keep]
+        if same and len(lo):
+            # same-block sims is symmetric: each pair surfaced twice
+            first = _first_of_pairs(lo, hi)
+            lo, hi, cos = lo[first], hi[first], cos[first]
+        return pa.Table.from_arrays(
+            [pa.array(lo, type=pa.int64()),
+             pa.array(hi, type=pa.int64()),
+             pa.array(cos, type=pa.float64())], schema=out_schema)
+
+    result_refs = [block_pair.remote(mat_refs[i], mat_refs[j], i == j)
+                   for i in range(len(mat_refs))
+                   for j in range(i, len(mat_refs))]
+    return rd.from_arrow_refs(result_refs)
+
+
 def embedding_dup_pairs(emb_ds, *, threshold: float = 0.98,
                         nbits: int = 8, ntables: int = 6,
                         nprobes: int = 2, seed: int = 42,

@@ -320,6 +320,47 @@ def test_embedding_dup_exact(ray_session):
     assert (0, 49) in {(r["a"], r["b"]) for r in got.to_pylist()}
 
 
+def test_embedding_dup_blocked_matches_broadcast(ray_session):
+    """The blocked block-pair plan (no full-matrix broadcast) must
+    reproduce the broadcast-exact plan's pairs AND cosines exactly,
+    with several blocks in play (block_rows << n) so same-block,
+    cross-block and dedup paths all execute."""
+    import ray
+    import ray.data as rd
+
+    from nxsearch_ray.stages.ann import (
+        embedding_dup_pairs_blocked,
+        embedding_dup_pairs_exact,
+    )
+    from nxsearch_ray.stages.signatures import list_column_numpy
+
+    t = _rand_embeddings(n=120)
+    emb = t.column("embedding").to_pylist()
+    emb[119] = emb[0]                      # same-block-able duplicate
+    emb[60] = emb[1]                       # cross-block duplicate
+    emb[61] = [v * 0.5 for v in emb[1]]    # same direction, scaled
+    t = pa.table({"vec_id": t.column("vec_id"),
+                  "embedding": pa.array(emb,
+                                        type=pa.list_(pa.float32()))})
+    flat, off = list_column_numpy(t.column("embedding"),
+                                  dtype=np.float64)
+    cref = ray.put({"ids": np.arange(120),
+                    "vectors": flat.reshape(120, -1)})
+
+    def pairset(ds):
+        tb = pa.concat_tables(ds.iter_batches(batch_size=1000,
+                                              batch_format="pyarrow"))
+        return {(r["a"], r["b"]): round(r["cosine"], 12)
+                for r in tb.to_pylist()}
+
+    exact = pairset(embedding_dup_pairs_exact(
+        rd.from_arrow(t).repartition(6), cref, threshold=0.8))
+    blocked = pairset(embedding_dup_pairs_blocked(
+        rd.from_arrow(t), threshold=0.8, block_rows=32))
+    assert blocked == exact
+    assert {(0, 119), (1, 60), (1, 61)} <= set(exact)
+
+
 def test_embedding_dups_lsh_recall(ray_session):
     """Recall gate (VERDICT r01 #4): the multiprobe/multi-table LSH
     plan must find ≥0.9 of the exact plan's pairs on the sandbox
