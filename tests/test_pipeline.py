@@ -135,6 +135,35 @@ def test_partial_resume_from_mid_stage(ray_session, corpus_dir, oracle,
     assert _cluster_dict(r) == labels
     shutil.rmtree(out, ignore_errors=True)
 
+def test_crash_mid_write_discards_stale_parts(ray_session, corpus_dir,
+                                              oracle, tmp_path):
+    """ADVICE r01 #1 scenario: a crash mid-write leaves stale parquet
+    parts with no (or stale) manifest; the re-run must recompute the
+    stage and NOT mix the stale parts into the checkpoint."""
+    import glob
+    import os
+
+    labels, _ = oracle
+    out = str(tmp_path / "crash")
+    cfg = PipelineConfig()
+    run_dedup(_pages_ds(corpus_dir), cfg, out_dir=out)
+
+    sigdir = f"{out}/signatures"
+    parts = sorted(glob.glob(f"{sigdir}/*.parquet"))
+    # simulate the crash: duplicate a part (stale leftover rows) and
+    # drop the manifest (the write never completed)
+    shutil.copy(parts[0], f"{sigdir}/zz-stale-partial.parquet")
+    os.remove(f"{sigdir}/manifest.json")
+    shutil.rmtree(f"{out}/verified_pairs")
+    shutil.rmtree(f"{out}/clusters")
+
+    r = run_dedup(_pages_ds(corpus_dir), cfg, out_dir=out)
+    assert not r.stats["signatures_resumed"]
+    assert _cluster_dict(r) == labels
+    assert not os.path.exists(f"{sigdir}/zz-stale-partial.parquet")
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def test_incremental_ingest(ray_session, corpus, corpus_dir, oracle,
                             tmp_path):
     """Append-only ingest (reference offset-replay analogue): run on a
