@@ -123,6 +123,10 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
     "fr": ("le", "la", "les", "et", "est", "une", "que", "pour"),
     "es": ("el", "la", "los", "las", "es", "una", "que", "por"),
+    "it": ("il", "che", "della", "sono", "anche", "gli", "nel", "più"),
+    "pt": ("não", "uma", "com", "mais", "como", "dos", "são", "pelo"),
+    "nl": ("het", "een", "van", "niet", "zijn", "voor", "naar", "ook"),
+    "ru": ("и", "не", "что", "это", "как", "для", "его", "она"),
 }
 
 

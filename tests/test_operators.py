@@ -422,9 +422,13 @@ def test_langid():
         "der hund und die katze ist nicht mit ein",
         "el perro es una cosa que por las casas",
         "中文网页内容测试",
+        "il gatto che dorme sono anche gli animali nel prato",
+        "não sei como dizer mais dos outros são pelo menos",
+        "het is een huis van niet zijn voor de stad ook",
+        "и вот не знаю что это как для него она",
     ]})
     assert actor(t).column("lang_pred").to_pylist() == \
-        ["en", "de", "es", "zh"]
+        ["en", "de", "es", "zh", "it", "pt", "nl", "ru"]
 
 
 def test_fingerprint_deterministic():
