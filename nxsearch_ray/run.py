@@ -90,6 +90,10 @@ def main(argv=None) -> int:
     p.add_argument("--remove-ids", metavar="FILE",
                    help="delete these page ids (one per line) from an "
                         "existing run instead of ingesting")
+    p.add_argument("--check-ids", action="store_true",
+                   help="fail fast when page ids are not unique (the "
+                        "reference rejects duplicate doc ids; hashed "
+                        "ids can also collide)")
     p.add_argument("--num-cpus", type=int, default=0,
                    help="create a LOCAL Ray session with this many "
                         "CPUs (ignored when a session already exists)")
@@ -125,11 +129,22 @@ def main(argv=None) -> int:
         with open(args.remove_ids) as f:
             ids = [int(line) for line in f if line.strip()]
         result = run_dedup_remove(ids, cfg, **run_kw)
-    elif args.incremental:
-        result = run_dedup_incremental(_load_pages(args.input, cfg),
-                                       cfg, **run_kw)
     else:
-        result = run_dedup(_load_pages(args.input, cfg), cfg, **run_kw)
+        pages = _load_pages(args.input, cfg)
+        if args.check_ids:
+            from nxsearch_ray.stages.diagnostics import duplicate_page_ids
+
+            dups = duplicate_page_ids(pages)
+            if dups.num_rows:
+                raise SystemExit(
+                    f"{dups.num_rows} duplicate page ids in input "
+                    f"(first: {dups.column('page_id')[0].as_py()}) — "
+                    "duplicate doc ids are rejected, like the "
+                    "reference's nxs_index_add guard")
+        if args.incremental:
+            result = run_dedup_incremental(pages, cfg, **run_kw)
+        else:
+            result = run_dedup(pages, cfg, **run_kw)
 
     clusters = clusters_as_table(result)
     wall = round(time.monotonic() - t0, 3)

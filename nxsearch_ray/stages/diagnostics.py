@@ -16,6 +16,32 @@ import pyarrow as pa
 from nxsearch_ray.config import PipelineConfig
 
 
+def duplicate_page_ids(pages_ds, id_col: str = "page_id") -> pa.Table:
+    """Ids appearing on more than one row — the distributed analogue of
+    the reference's duplicate-doc-id ingest guard (reference
+    src/core/nxs.c:505-511 rejects an already-indexed doc_id; the
+    hashed-id pipeline instead surfaces collisions/duplicates as a
+    diagnostic).  One native Count aggregation; returns a small table
+    ``(page_id, n_rows)`` with n_rows ≥ 2 — empty means ids are unique
+    (the pipeline's input contract)."""
+    import pyarrow.compute as pc
+    from ray.data import aggregate as agg
+
+    counts = pages_ds.select_columns([id_col]) \
+        .groupby(id_col).aggregate(agg.Count())
+
+    def keep_dups(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([id_col, "n_rows"])
+        return t.filter(pc.greater_equal(t.column("n_rows"), 2))
+
+    out = counts.map_batches(keep_dups, batch_format="pyarrow")
+    batches = list(out.iter_batches(batch_size=1 << 20,
+                                    batch_format="pyarrow"))
+    schema = pa.schema([(id_col, pa.int64()), ("n_rows", pa.int64())])
+    batches = [b for b in batches if b.num_columns > 0]
+    return pa.concat_tables(batches) if batches else schema.empty_table()
+
+
 def bucket_census(signatures_ds, cfg: PipelineConfig):
     """Histogram of candidate-bucket sizes per source:
     (source, bucket_size, n_buckets).  One shuffle (sort) + vectorized

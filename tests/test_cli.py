@@ -62,3 +62,22 @@ def test_cli_run_and_remove(tmp_path):
     ct2 = _read_stage(str(out / "clusters"))
     assert not (set(ct2.column("page_id").to_pylist()) & set(victims))
     assert line2["n_cluster_rows"] == ct2.num_rows
+
+
+def test_cli_check_ids_rejects_duplicates(tmp_path):
+    """--check-ids fails fast on duplicate page ids (the reference
+    rejects duplicate doc ids at ingest, nxs.c:505-511)."""
+    import pyarrow as pa
+
+    t = synth_pages(40, seed=11)
+    ids = t.column("page_id").to_pylist()
+    ids[1] = ids[0]                                   # plant a dup
+    t = t.set_column(t.schema.get_field_index("page_id"), "page_id",
+                     pa.array(ids, type=pa.int64()))
+    inp = tmp_path / "pages"
+    inp.mkdir()
+    pq.write_table(t, inp / "part-0.parquet")
+    r = _run(["--input", str(inp), "--output", str(tmp_path / "out"),
+              "--check-ids", "--num-cpus", "4"])
+    assert r.returncode != 0
+    assert "duplicate page ids" in r.stderr
