@@ -5,13 +5,16 @@ metadata columns beside them; decode / feature-extraction runs as an
 actor-pool `map_batches` stage with SMALL batches (wide rows — see the
 block-size note in SURVEY.md §7).
 
-The decode libraries (Pillow, torchaudio, …) are NOT in this
-container, so the actual pixel/sample decode is stubbed: by default
-the stage raises `NotImplementedError` at actor construction when the
-library is missing; with ``deterministic_fake=True`` it emits
-deterministic pseudo-features derived from the payload bytes so that
-schema, batching, actor lifecycle and downstream layout are all real
-and testable.  Swapping in a real decoder is a one-method change.
+Image decode is REAL for uncompressed formats: PPM/PGM/BMP payloads
+decode through the pure-numpy codec in functions/imagecodec.py (no
+library needed), feeding real width/height/channel-statistics
+features and a real nearest-neighbor resize.  Compressed image
+formats (JPEG/PNG) and the audio/video codecs require libraries NOT
+in this container, so those paths are stubbed: a payload the codec
+cannot decode raises `NotImplementedError` unless Pillow is present,
+and with ``deterministic_fake=True`` the stage emits deterministic
+pseudo-features derived from the payload bytes so that schema,
+batching, actor lifecycle and downstream layout stay testable.
 """
 
 from __future__ import annotations
@@ -49,14 +52,29 @@ class ImageFeatureActor:
         self.id_col = id_col
         self.fake = deterministic_fake
         if not deterministic_fake:
+            # uncompressed formats decode with the built-in pure-numpy
+            # codec; Pillow (absent here) would extend to JPEG/PNG
             try:
-                from PIL import Image  # noqa: F401  (not in container)
-                self._decoder = Image
-            except ImportError as e:
-                raise NotImplementedError(
-                    "image decode requires Pillow, which is not in this "
-                    "environment; construct with deterministic_fake=True "
-                    "to exercise the pipeline plumbing") from e
+                from PIL import Image  # noqa: F401
+                self._pil = Image
+            except ImportError:
+                self._pil = None
+
+    def _decode(self, payload: bytes) -> "np.ndarray":
+        from nxsearch_ray.functions.imagecodec import decode_image
+
+        arr = decode_image(payload)
+        if arr is not None:
+            return arr
+        if self._pil is not None:       # pragma: no cover - no PIL here
+            import io
+
+            return np.asarray(self._pil.open(io.BytesIO(payload))
+                              .convert("RGB"))
+        raise NotImplementedError(
+            "payload is not an uncompressed PPM/PGM/BMP image and "
+            "Pillow is not installed — compressed-format decode is a "
+            "declared stub in this environment")
 
     def _fake_decode(self, payloads: list[bytes]) -> dict:
         lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
@@ -78,10 +96,37 @@ class ImageFeatureActor:
                 "payload_bytes": lens, "payload_hash": h,
                 "features": feats}
 
+    def _real_decode(self, payloads: list[bytes]) -> dict:
+        from nxsearch_ray.functions.imagecodec import (
+            image_feature_vector,
+        )
+
+        n = len(payloads)
+        lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                           count=n)
+        flat = np.frombuffer(b"".join(payloads), dtype=np.uint8) \
+            .astype(np.uint64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        h = sequence_hashes(flat, offsets)
+        width = np.zeros(n, dtype=np.int32)
+        height = np.zeros(n, dtype=np.int32)
+        channels = np.zeros(n, dtype=np.int8)
+        feats = np.zeros((n, FEATURE_DIM), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            arr = self._decode(p)       # per image; numpy inside
+            height[i], width[i] = arr.shape[0], arr.shape[1]
+            channels[i] = arr.shape[2] if arr.ndim == 3 else 1
+            feats[i] = image_feature_vector(arr)
+        return {"width": width, "height": height, "channels": channels,
+                "payload_bytes": lens, "payload_hash": h,
+                "features": feats}
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = [p or b"" for p in
                     batch.column(self.binary_col).to_pylist()]
-        d = self._fake_decode(payloads)  # real decoder would branch here
+        d = (self._fake_decode(payloads) if self.fake
+             else self._real_decode(payloads))
         return pa.Table.from_arrays(
             [batch.column(self.id_col).cast(pa.int64()),
              pa.array(d["width"]), pa.array(d["height"]),
@@ -128,11 +173,15 @@ IMAGE_RESIZE_SCHEMA = pa.schema([
 
 
 class ImageResizeActor:
-    """Resize stage: binary image in → binary (target_w × target_h × 3)
-    image out.  Fake path: the output buffer is a deterministic
-    stride-gather over the input bytes (cyclic when the input is
-    smaller), so downstream stages see REAL target-sized payloads —
-    the memory/batching behavior of a resize stage without a codec."""
+    """Resize stage: binary image in → binary (target_w × target_h)
+    image out.
+
+    Real path (default): decode via the pure-numpy codec (PPM/PGM/BMP),
+    deterministic nearest-neighbor resize, re-encode as PPM/PGM.
+    Fake path: the output buffer is a deterministic stride-gather over
+    the input bytes (cyclic when the input is smaller), so downstream
+    stages see target-sized payloads — the memory/batching behavior of
+    a resize stage without decoding."""
 
     def __init__(self, target_w: int, target_h: int, *,
                  binary_col: str = "payload", id_col: str = "page_id",
@@ -140,17 +189,33 @@ class ImageResizeActor:
         self.tw, self.th = int(target_w), int(target_h)
         self.binary_col = binary_col
         self.id_col = id_col
-        self._lib = _require_or_fake("PIL", deterministic_fake)
+        self.fake = deterministic_fake
+
+    def _resize_real(self, p: bytes) -> bytes:
+        from nxsearch_ray.functions.imagecodec import (
+            decode_image,
+            encode_ppm,
+            resize_nearest,
+        )
+
+        arr = decode_image(p)
+        if arr is None:
+            raise NotImplementedError(
+                "payload is not an uncompressed PPM/PGM/BMP image — "
+                "compressed-format resize is a declared stub in this "
+                "environment")
+        return encode_ppm(resize_nearest(arr, self.tw, self.th))
+
+    def _resize_fake(self, p: bytes) -> bytes:
+        nbytes = self.tw * self.th * 3
+        src = np.frombuffer(p or b"\x00", dtype=np.uint8)
+        idx = (np.arange(nbytes, dtype=np.int64)
+               * max(len(src) // max(nbytes, 1), 1)) % len(src)
+        return src[idx].tobytes()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        nbytes = self.tw * self.th * 3
-        out: list[bytes] = []
-        for p in batch.column(self.binary_col).to_pylist():
-            p = p or b"\x00"
-            src = np.frombuffer(p, dtype=np.uint8)
-            idx = (np.arange(nbytes, dtype=np.int64)
-                   * max(len(src) // max(nbytes, 1), 1)) % len(src)
-            out.append(src[idx].tobytes())
+        fn = self._resize_fake if self.fake else self._resize_real
+        out = [fn(p) for p in batch.column(self.binary_col).to_pylist()]
         n = batch.num_rows
         return pa.Table.from_arrays(
             [batch.column(self.id_col).cast(pa.int64()),

@@ -464,11 +464,91 @@ def test_image_features_fake_decode(ray_session):
     assert all(len(r["features"]) == 8 for r in rows)
 
 
-def test_image_features_requires_lib_without_fake():
+def test_image_features_real_decode_uncompressed(ray_session):
+    """Real decode path: PPM/PGM/BMP payloads produce true dimensions
+    and channel statistics through the distributed stage (pure-numpy
+    codec, no Pillow needed)."""
+    import ray.data as rd
+
+    from nxsearch_ray.functions.imagecodec import encode_ppm
+    from nxsearch_ray.stages.multimodal import image_features_stage
+
+    rgb = np.zeros((4, 6, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 255                       # pure red
+    gray = np.full((3, 5), 128, dtype=np.uint8)
+    # hand-built 2x2 24-bit BMP, bottom-up rows, BGR, stride padded to 8
+    # pixels: top row (red, green), bottom row (blue, white)
+    def px(r, g, b):
+        return bytes([b, g, r])
+    rows = [px(0, 0, 255) + px(255, 255, 255) + b"\x00\x00",  # bottom
+            px(255, 0, 0) + px(0, 255, 0) + b"\x00\x00"]      # top
+    pixel_data = b"".join(rows)
+    bmp = (b"BM" + (54 + len(pixel_data)).to_bytes(4, "little")
+           + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+           + (40).to_bytes(4, "little")
+           + (2).to_bytes(4, "little", signed=True)
+           + (2).to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + bytes(20) + pixel_data)
+
+    t = pa.table({"page_id": [1, 2, 3],
+                  "payload": [encode_ppm(rgb), encode_ppm(gray), bmp]})
+    out = image_features_stage(rd.from_arrow(t))
+    rows_out = {r["page_id"]: r for r in pa.concat_tables(
+        out.iter_batches(batch_size=10, batch_format="pyarrow")
+    ).to_pylist()}
+    r1 = rows_out[1]
+    assert (r1["width"], r1["height"], r1["channels"]) == (6, 4, 3)
+    assert r1["features"][0] == pytest.approx(1.0)       # mean R
+    assert r1["features"][1] == pytest.approx(0.0)       # mean G
+    r2 = rows_out[2]
+    assert (r2["width"], r2["height"], r2["channels"]) == (5, 3, 1)
+    assert r2["features"][0] == pytest.approx(128 / 255, abs=1e-6)
+    r3 = rows_out[3]
+    assert (r3["width"], r3["height"], r3["channels"]) == (2, 2, 3)
+    # 4 pixels: red+green+blue+white → each channel mean = 2/4
+    assert r3["features"][0] == pytest.approx(0.5)
+    assert r3["features"][1] == pytest.approx(0.5)
+    assert r3["features"][2] == pytest.approx(0.5)
+
+
+def test_image_resize_real_roundtrip():
+    """Nearest-neighbor resize on a decoded PPM: upscale 2x2 checker to
+    4x4 keeps exact pixel blocks; output re-decodes to the target."""
+    from nxsearch_ray.functions.imagecodec import (
+        decode_image,
+        encode_ppm,
+    )
+    from nxsearch_ray.stages.multimodal import ImageResizeActor
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0] = (255, 0, 0)
+    img[1, 1] = (0, 0, 255)
+    actor = ImageResizeActor(4, 4)
+    t = pa.table({"page_id": [9], "payload": [encode_ppm(img)]})
+    out = actor(t)
+    resized = decode_image(out.column("payload")[0].as_py())
+    assert resized.shape == (4, 4, 3)
+    assert tuple(resized[0, 0]) == (255, 0, 0)
+    assert tuple(resized[3, 3]) == (0, 0, 255)
+    assert tuple(resized[0, 3]) == (0, 0, 0)
+
+
+def test_image_decode_unsupported_format_is_stubbed():
+    """Compressed formats still need a codec library: without Pillow
+    the real path must raise loudly, not mis-decode."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow available — stub not exercised")
+    except ImportError:
+        pass
     from nxsearch_ray.stages.multimodal import ImageFeatureActor
 
+    actor = ImageFeatureActor(deterministic_fake=False)
+    t = pa.table({"page_id": [1],
+                  "payload": [b"\x89PNG\r\n\x1a\nnotreallyapng"]})
     with pytest.raises(NotImplementedError):
-        ImageFeatureActor(deterministic_fake=False)
+        actor(t)
 
 
 def test_image_resize_fake(ray_session):
@@ -550,12 +630,17 @@ def test_multimodal_stages_require_lib_without_fake():
         VideoFrameSampleActor,
     )
 
-    with pytest.raises(NotImplementedError):
-        ImageResizeActor(8, 6, deterministic_fake=False)
+    # audio/video decode still needs codec libraries (absent here)
     with pytest.raises(NotImplementedError):
         AudioFeatureActor(deterministic_fake=False)
     with pytest.raises(NotImplementedError):
         VideoFrameSampleActor(4, deterministic_fake=False)
+    # image resize constructs (built-in codec) but a non-PPM/BMP
+    # payload hits the stub contract
+    actor = ImageResizeActor(8, 6, deterministic_fake=False)
+    t = pa.table({"page_id": [1], "payload": [b"notanimage"]})
+    with pytest.raises(NotImplementedError):
+        actor(t)
 
 
 # ----------------------------------------------------------------- join
