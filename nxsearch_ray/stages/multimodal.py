@@ -249,37 +249,73 @@ AUDIO_FEATURES_SCHEMA = pa.schema([
 
 
 class AudioFeatureActor:
-    """Audio decode + feature-extract (MFCC-shaped output).  Fake
-    path: 16 kHz mono s16 is assumed (duration = bytes / 32000) and
-    the feature vector derives from the payload hash — deterministic,
-    so two byte-identical clips always collide downstream."""
+    """Audio decode + feature-extract.
+
+    Real path (default): uncompressed RIFF/WAVE payloads decode with
+    the pure-numpy codec (functions/audiocodec.py) into true sample
+    rate / duration and real signal features (RMS, ZCR, spectral
+    centroid...); compressed formats raise the stub contract unless a
+    codec library is present.  Fake path: 16 kHz mono s16 is assumed
+    (duration = bytes / 32000) and the feature vector derives from the
+    payload hash — deterministic, so two byte-identical clips always
+    collide downstream."""
 
     def __init__(self, *, binary_col: str = "payload",
                  id_col: str = "page_id",
                  deterministic_fake: bool = False):
         self.binary_col = binary_col
         self.id_col = id_col
-        self._lib = _require_or_fake("soundfile", deterministic_fake)
+        self.fake = deterministic_fake
+
+    def _fake(self, payloads: list[bytes], lens, h) -> pa.Table:
+        feats = np.empty((len(payloads), FEATURE_DIM), dtype=np.float32)
+        for j in range(FEATURE_DIM):
+            feats[:, j] = (splitmix64(h ^ np.uint64(0xA0D10 + j))
+                           .astype(np.float64) / 2.0 ** 64)
+        return (np.full(len(payloads), 16000, dtype=np.int32),
+                lens.astype(np.float64) / 32000.0, feats)
+
+    def _real(self, payloads: list[bytes]):
+        from nxsearch_ray.functions.audiocodec import (
+            audio_feature_vector,
+            decode_wav,
+        )
+
+        n = len(payloads)
+        sr = np.zeros(n, dtype=np.int32)
+        dur = np.zeros(n, dtype=np.float64)
+        feats = np.zeros((n, FEATURE_DIM), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            got = decode_wav(p)
+            if got is None:
+                raise NotImplementedError(
+                    "payload is not an uncompressed RIFF/WAVE file and "
+                    "no audio codec library is installed — "
+                    "compressed-format decode is a declared stub in "
+                    "this environment")
+            samples, rate = got
+            sr[i] = rate
+            dur[i] = len(samples) / rate
+            feats[i] = audio_feature_vector(samples, rate)
+        return sr, dur, feats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = [p or b"" for p in
                     batch.column(self.binary_col).to_pylist()]
         lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
                            count=len(payloads))
-        flat = np.frombuffer(b"".join(payloads), dtype=np.uint8) \
-            .astype(np.uint64)
-        offsets = np.zeros(len(payloads) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        h = sequence_hashes(flat, offsets)
-        feats = np.empty((len(payloads), FEATURE_DIM), dtype=np.float32)
-        for j in range(FEATURE_DIM):
-            feats[:, j] = (splitmix64(h ^ np.uint64(0xA0D10 + j))
-                           .astype(np.float64) / 2.0 ** 64)
+        if self.fake:
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8) \
+                .astype(np.uint64)
+            offsets = np.zeros(len(payloads) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            h = sequence_hashes(flat, offsets)
+            sr, dur, feats = self._fake(payloads, lens, h)
+        else:
+            sr, dur, feats = self._real(payloads)
         return pa.Table.from_arrays(
             [batch.column(self.id_col).cast(pa.int64()),
-             pa.array(np.full(len(payloads), 16000, dtype=np.int32)),
-             pa.array(lens.astype(np.float64) / 32000.0),
-             pa.array(lens),
+             pa.array(sr), pa.array(dur), pa.array(lens),
              pa.FixedSizeListArray.from_arrays(
                  pa.array(feats.reshape(-1)), FEATURE_DIM)],
             schema=AUDIO_FEATURES_SCHEMA)

@@ -579,6 +579,40 @@ def test_image_resize_fake(ray_session):
     assert got.sort_by("page_id").equals(got2.sort_by("page_id"))
 
 
+def test_audio_features_real_wav(ray_session):
+    """Real WAV decode: a 440 Hz sine at 16 kHz must yield the true
+    sample rate/duration, RMS ≈ A/√2, ZCR ≈ 2f/sr and a spectral
+    centroid at ≈ f/Nyquist — actual DSP, not payload hashing."""
+    import ray.data as rd
+
+    from nxsearch_ray.functions.audiocodec import encode_wav
+    from nxsearch_ray.stages.multimodal import audio_features_stage
+
+    sr, f, amp, secs = 16000, 440.0, 0.5, 1.0
+    ts = np.arange(int(sr * secs)) / sr
+    sine = amp * np.sin(2 * np.pi * f * ts)
+    silence = np.zeros(800)
+    t = pa.table({"page_id": [1, 2],
+                  "payload": [encode_wav(sine, sr),
+                              encode_wav(silence, 8000)]})
+    out = audio_features_stage(rd.from_arrow(t))
+    rows = {r["page_id"]: r for r in pa.concat_tables(
+        out.iter_batches(batch_size=10, batch_format="pyarrow")
+    ).to_pylist()}
+    r1 = rows[1]
+    assert r1["sample_rate"] == sr
+    assert r1["duration_s"] == pytest.approx(secs, abs=1e-4)
+    rms, zcr, _, peak, centroid = r1["features"][:5]
+    assert rms == pytest.approx(amp / np.sqrt(2), rel=0.01)
+    assert zcr == pytest.approx(2 * f / sr, rel=0.05)
+    assert peak == pytest.approx(amp, rel=0.01)
+    assert centroid == pytest.approx(f / (sr / 2), rel=0.05)
+    r2 = rows[2]
+    assert r2["sample_rate"] == 8000
+    assert r2["duration_s"] == pytest.approx(0.1)
+    assert r2["features"][0] == 0.0        # silent RMS
+
+
 def test_audio_features_fake(ray_session):
     import ray.data as rd
 
@@ -630,11 +664,15 @@ def test_multimodal_stages_require_lib_without_fake():
         VideoFrameSampleActor,
     )
 
-    # audio/video decode still needs codec libraries (absent here)
-    with pytest.raises(NotImplementedError):
-        AudioFeatureActor(deterministic_fake=False)
+    # video decode still needs codec libraries (absent here)
     with pytest.raises(NotImplementedError):
         VideoFrameSampleActor(4, deterministic_fake=False)
+    # audio constructs (built-in WAV codec) but a compressed payload
+    # hits the stub contract
+    audio = AudioFeatureActor(deterministic_fake=False)
+    ta = pa.table({"page_id": [1], "payload": [b"ID3\x03mp3bytes"]})
+    with pytest.raises(NotImplementedError):
+        audio(ta)
     # image resize constructs (built-in codec) but a non-PPM/BMP
     # payload hits the stub contract
     actor = ImageResizeActor(8, 6, deterministic_fake=False)
