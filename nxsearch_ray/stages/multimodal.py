@@ -151,19 +151,6 @@ def image_features_stage(ds, *, binary_col: str = "payload",
         concurrency=concurrency, num_cpus=1)
 
 
-def _require_or_fake(module: str, deterministic_fake: bool):
-    """Import the real decode library or raise the stub contract."""
-    if deterministic_fake:
-        return None
-    try:
-        return __import__(module)
-    except ImportError as e:
-        raise NotImplementedError(
-            f"real decode requires {module}, which is not in this "
-            "environment; construct with deterministic_fake=True to "
-            "exercise the pipeline plumbing") from e
-
-
 IMAGE_RESIZE_SCHEMA = pa.schema([
     ("page_id", pa.int64()),
     ("width", pa.int32()),
@@ -345,9 +332,15 @@ class VideoFrameSampleActor:
     """Frame-sample stage: one input video row explodes to
     ``num_frames`` frame rows (uniform temporal sampling) — the
     row-expanding layout a real extractor produces, so downstream
-    batch sizing / shuffle costs are representative.  Fake path: frame
-    i is a deterministic byte window at offset i/num_frames into the
-    payload; pts assumes 30 fps over a bytes-proportional duration."""
+    batch sizing / shuffle costs are representative.
+
+    Real path (default): uncompressed YUV4MPEG2 payloads parse with
+    the pure-Python codec (functions/videocodec.py) — true frame
+    count, true pts from the container frame rate, raw planar frame
+    bytes out; compressed containers raise the stub contract (no
+    codec library here).  Fake path: frame i is a deterministic byte
+    window at offset i/num_frames into the payload; pts assumes
+    30 fps over a bytes-proportional duration."""
 
     FPS = 30.0
 
@@ -358,7 +351,34 @@ class VideoFrameSampleActor:
         self.frame_bytes = int(frame_bytes)
         self.binary_col = binary_col
         self.id_col = id_col
-        self._lib = _require_or_fake("av", deterministic_fake)
+        self.fake = deterministic_fake
+
+    def _emit_fake(self, p: bytes, emit) -> None:
+        p = p or b"\x00"
+        n_total_frames = max(len(p) // self.frame_bytes, 1)
+        dur = n_total_frames / self.FPS
+        for i in range(self.num_frames):
+            start = (i * len(p)) // self.num_frames
+            chunk = p[start:start + self.frame_bytes]
+            if len(chunk) < self.frame_bytes:       # cyclic pad
+                chunk = (chunk + p * (self.frame_bytes // len(p) + 1)
+                         )[:self.frame_bytes]
+            emit(i, dur * i / self.num_frames, chunk)
+
+    def _emit_real(self, p: bytes, emit) -> None:
+        from nxsearch_ray.functions.videocodec import parse_y4m
+
+        vid = parse_y4m(p or b"")
+        if vid is None:
+            raise NotImplementedError(
+                "payload is not an uncompressed YUV4MPEG2 stream and "
+                "no video codec library is installed — compressed-"
+                "container decode is a declared stub in this "
+                "environment")
+        take = min(self.num_frames, vid.n_frames)
+        for i in range(take):
+            src = (i * vid.n_frames) // max(take, 1)
+            emit(i, vid.pts(src), vid.frame(src))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids_out: list[int] = []
@@ -366,21 +386,16 @@ class VideoFrameSampleActor:
         pts: list[float] = []
         frames: list[bytes] = []
         ids = batch.column(self.id_col).to_pylist()
+        emit_one = self._emit_fake if self.fake else self._emit_real
         for pid, p in zip(ids,
                           batch.column(self.binary_col).to_pylist()):
-            p = p or b"\x00"
-            n_total_frames = max(len(p) // self.frame_bytes, 1)
-            dur = n_total_frames / self.FPS
-            for i in range(self.num_frames):
-                start = (i * len(p)) // self.num_frames
-                chunk = p[start:start + self.frame_bytes]
-                if len(chunk) < self.frame_bytes:   # cyclic pad
-                    chunk = (chunk + p * (self.frame_bytes // len(p) + 1)
-                             )[:self.frame_bytes]
+            def emit(i, t, chunk, pid=pid):
                 ids_out.append(int(pid))
                 fidx.append(i)
-                pts.append(dur * i / self.num_frames)
+                pts.append(t)
                 frames.append(chunk)
+
+            emit_one(p, emit)
         return pa.Table.from_arrays(
             [pa.array(ids_out, type=pa.int64()),
              pa.array(fidx, type=pa.int32()),

@@ -634,6 +634,28 @@ def test_audio_features_fake(ray_session):
     assert all(len(r["features"]) == 8 for r in rows)
 
 
+def test_video_frame_sample_real_y4m(ray_session):
+    """Real Y4M parse: 8 planted 4x4 C420 frames at 10 fps, sample 4 —
+    frame bytes must be the planted frames 0/2/4/6 and pts exact."""
+    import ray.data as rd
+
+    from nxsearch_ray.functions.videocodec import encode_y4m
+    from nxsearch_ray.stages.multimodal import video_frame_sample_stage
+
+    fsize = int(4 * 4 * 1.5)
+    planted = [bytes([i]) * fsize for i in range(8)]
+    y4m = encode_y4m(planted, 4, 4, fps_num=10, fps_den=1)
+    t = pa.table({"page_id": [5], "payload": [y4m]})
+    out = video_frame_sample_stage(rd.from_arrow(t), 4)
+    rows = sorted(pa.concat_tables(
+        out.iter_batches(batch_size=100, batch_format="pyarrow")
+    ).to_pylist(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [r["frame"] for r in rows] == [planted[i]
+                                          for i in (0, 2, 4, 6)]
+    assert [r["pts_s"] for r in rows] == [0.0, 0.2, 0.4, 0.6]
+
+
 def test_video_frame_sample_fake(ray_session):
     import ray.data as rd
 
@@ -664,15 +686,17 @@ def test_multimodal_stages_require_lib_without_fake():
         VideoFrameSampleActor,
     )
 
-    # video decode still needs codec libraries (absent here)
-    with pytest.raises(NotImplementedError):
-        VideoFrameSampleActor(4, deterministic_fake=False)
-    # audio constructs (built-in WAV codec) but a compressed payload
-    # hits the stub contract
+    # each modality's real path handles its uncompressed format via
+    # the built-in codecs; a COMPRESSED payload hits the stub contract
     audio = AudioFeatureActor(deterministic_fake=False)
     ta = pa.table({"page_id": [1], "payload": [b"ID3\x03mp3bytes"]})
     with pytest.raises(NotImplementedError):
         audio(ta)
+    video = VideoFrameSampleActor(4, deterministic_fake=False)
+    tv = pa.table({"page_id": [1],
+                   "payload": [b"\x00\x00\x00\x18ftypmp42fakemp4"]})
+    with pytest.raises(NotImplementedError):
+        video(tv)
     # image resize constructs (built-in codec) but a non-PPM/BMP
     # payload hits the stub contract
     actor = ImageResizeActor(8, 6, deterministic_fake=False)
