@@ -391,6 +391,12 @@ def run_dedup_remove(removed_page_ids, cfg: PipelineConfig | None = None,
     n_prior = prior.count()          # parquet metadata, no execution
     surviving = pin_blocks(anti_join(prior, "page_id", removed_ref))
     n_after = surviving.count()
+    if n_after == 0:
+        # an all-rows deletion would leave an unloadable empty
+        # checkpoint; nothing has been mutated yet, so refuse loudly
+        raise ValueError(
+            "deletion would remove every page — clear the output "
+            "directory and re-ingest instead")
 
     for stage in ("verified_pairs", "clusters"):
         shutil.rmtree(stage_dir(out_dir, stage), ignore_errors=True)

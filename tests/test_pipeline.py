@@ -237,4 +237,9 @@ def test_remove_docs(ray_session, corpus, corpus_dir, oracle, tmp_path):
                                             PipelineConfig())
     assert _cluster_dict(res) == exp_labels
     assert _pair_set(res) == exp_pairs
+
+    # deleting EVERYTHING must refuse before mutating any checkpoint
+    with pytest.raises(ValueError, match="every page"):
+        run_dedup_remove(sorted(corpus.column("page_id").to_pylist()),
+                         cfg, out_dir=out)
     shutil.rmtree(out, ignore_errors=True)
