@@ -412,3 +412,21 @@ def term_search_docs(canonical_ds, query: str, cfg: PipelineConfig,
     doc id, unranked."""
     t = term_search(canonical_ds, query, cfg, limit=1 << 62, **kw)
     return t.select([t.column_names[0]])
+
+
+def response_json(results: pa.Table) -> str:
+    """Serialize a (id, score) result table to the reference's wire
+    format: ``{"results": [{"doc_id": N, "score": S}, ...],
+    "count": N}`` — nxs_resp_tojson (reference src/core/results.c:
+    21-42, 118-122), scores rounded like the service's JSON output.
+    The input order (score desc, id asc) is preserved."""
+    import json
+
+    ids = results.column(results.column_names[0]).to_pylist()
+    scores = (results.column("score").to_pylist()
+              if "score" in results.column_names else [0.0] * len(ids))
+    return json.dumps(
+        {"results": [{"doc_id": int(i), "score": round(float(s), 6)}
+                     for i, s in zip(ids, scores)],
+         "count": len(ids)},
+        separators=(",", ":"))

@@ -156,3 +156,22 @@ def test_limit_and_order(ray_session):
     assert t.num_rows == 3
     s = t.column("score").to_numpy()
     assert np.all(np.diff(s) <= 1e-12)
+
+
+def test_response_json_format():
+    """nxs_resp_tojson wire format (results.c:21-42): results array of
+    {doc_id, score} plus count, input order preserved."""
+    import json
+
+    import pyarrow as pa
+
+    from nxsearch_ray.stages.search import response_json
+
+    t = pa.table({"doc_id": pa.array([3, 1], pa.int64()),
+                  "score": pa.array([0.0668, 0.0610], pa.float64())})
+    out = json.loads(response_json(t))
+    assert out["count"] == 2
+    assert out["results"] == [{"doc_id": 3, "score": 0.0668},
+                              {"doc_id": 1, "score": 0.061}]
+    empty = json.loads(response_json(t.slice(0, 0)))
+    assert empty == {"results": [], "count": 0}
