@@ -17,11 +17,13 @@ defines module-level ``filter(ctx, value)`` (plus optional ``create``/
 its stem.  Returning ``None`` discards the token; returning a string
 mutates it; raising aborts the document (the Lua ERROR action).
 
-Actual ``.lua`` files are accepted when the ``lupa`` binding is
-available (it is not in this sandbox, so that path is import-gated and
-raises a clear error rather than silently degrading).  The Lua table
-contract is translated 1:1: ``create(params)`` gets the params dict as
-a Lua table, ``filter(ctx, value)`` returns the mutated string or nil.
+Actual ``.lua`` files are always accepted: via the ``lupa`` binding
+when installed, else via the embedded pure-Python Lua-subset
+interpreter (``lua_mini.py``).  The Lua table contract is translated
+1:1: ``create(json_params)`` gets the params as a JSON string (decoded
+by the module with ``cjson``, exactly like the reference host),
+``filter(ctx, value)`` returns the mutated string, ``nil, nil`` to
+discard, or ``nil, err`` to abort.
 """
 
 from __future__ import annotations
@@ -81,22 +83,38 @@ def load_python_filter(path: str, name: str | None = None) -> str:
 def load_lua_filter(path: str, name: str | None = None) -> str:
     """Load an actual ``.lua`` filter file (drop-in reference parity).
 
-    Requires the ``lupa`` Lua binding; raises RuntimeError when it is
-    unavailable (this sandbox ships no Lua runtime — declared
-    limitation, the Python plugin path above carries the same
-    contract)."""
-    try:
-        import lupa
-    except ImportError as e:  # pragma: no cover - lupa absent here
-        raise RuntimeError(
-            "loading .lua filters requires the `lupa` package, which is "
-            "not installed; use a .py plugin with the same "
-            "{create, filter} contract instead") from e
+    Uses the ``lupa`` Lua binding when installed; otherwise falls back
+    to the embedded Lua-subset interpreter
+    (:mod:`nxsearch_ray.functions.lua_mini`), which runs the documented
+    lifecycle-table contract — including the reference's own
+    src/tests/test_filter.lua — without a C Lua runtime.
+
+    Contract parity with the reference host
+    (src/core/filters_lua.c:224-289, docs/lua-filters-api.md:19-49):
+
+      * ``create(json_params)`` receives the pipeline params as a JSON
+        **string** (the module decodes it with ``cjson``), and its
+        return value is the ctx passed to ``filter``/``destroy``;
+      * ``filter(ctx, value)`` returning a string mutates the token,
+        ``nil, nil`` discards it, and ``nil, err`` aborts the document
+        (raised as RuntimeError, the Lua ERROR action).
+    """
+    import json as _json
 
     name = name or os.path.splitext(os.path.basename(path))[0]
-    rt = lupa.LuaRuntime(unpack_returned_tuples=True)
     with open(path) as f:
-        table = rt.execute(f.read())
+        source = f.read()
+    try:
+        import lupa
+    except ImportError:
+        lupa = None
+
+    if lupa is not None:  # pragma: no cover - lupa absent here
+        rt = lupa.LuaRuntime(unpack_returned_tuples=True)
+        table = rt.execute(source)
+    else:
+        from nxsearch_ray.functions.lua_mini import lua_execute
+        table = lua_execute(source)
     if table is None or table["filter"] is None:
         raise ValueError(f"lua filter {path!r} returned no "
                          "{create, filter} table")
@@ -104,10 +122,27 @@ def load_lua_filter(path: str, name: str | None = None) -> str:
     def factory(params: dict):
         ctx = None
         if table["create"] is not None:
-            ctx = table["create"](rt.table(**params))
+            out = table["create"](_json.dumps(params))
+            # create may return (ctx) or (nil, err)
+            if isinstance(out, tuple):
+                if out[0] is None and len(out) > 1 and out[1] is not None:
+                    raise RuntimeError(
+                        f"lua filter {name!r} create() failed: {out[1]}")
+                ctx = out[0] if out else None
+            else:
+                ctx = out
 
         def run(token: str):
             out = table["filter"](ctx, token)
+            if isinstance(out, tuple):
+                first = out[0] if out else None
+                if first is None:
+                    err = out[1] if len(out) > 1 else None
+                    if err is not None:          # nil, err ⇒ ERROR
+                        raise RuntimeError(
+                            f"lua filter {name!r} failed: {err}")
+                    return FilterAction.DISCARD, token
+                out = first
             if out is None:
                 return FilterAction.DISCARD, token
             return FilterAction.MUTATION, str(out)
@@ -139,8 +174,9 @@ def ensure_plugins(paths) -> None:
 
 def load_filters_from_dir(dirpath: str) -> list[str]:
     """Register every plugin file in a directory — the service-init
-    scan (reference svc-src/nxsearch_svc.lua:24-34).  ``.py`` files
-    always load; ``.lua`` files load when lupa is present."""
+    scan (reference svc-src/nxsearch_svc.lua:24-34).  Both ``.py`` and
+    ``.lua`` files load (the latter through lupa or the embedded
+    interpreter)."""
     names = []
     for fname in sorted(os.listdir(dirpath)):
         path = os.path.join(dirpath, fname)

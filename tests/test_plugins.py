@@ -2,6 +2,7 @@
 (docs/lua-filters-api.md:19-80, svc-src/nxsearch_svc.lua:24-34) bound
 to Python plugin files with the same {create, filter} contract."""
 
+import os
 import textwrap
 
 import pytest
@@ -71,17 +72,96 @@ def test_plugin_without_filter_fn_rejected(tmp_path):
         load_python_filter(str(p))
 
 
-def test_lua_filter_gated(tmp_path):
-    """Without lupa the .lua path must fail loudly, not degrade."""
-    try:
-        import lupa  # noqa: F401
-        pytest.skip("lupa available — gating not exercised")
-    except ImportError:
-        pass
-    p = tmp_path / "f.lua"
-    p.write_text("return { filter = function(ctx, v) return v end }\n")
-    with pytest.raises(RuntimeError, match="lupa"):
-        load_lua_filter(str(p))
+LUA_PLUGIN_SRC = textwrap.dedent('''
+    -- create/filter lifecycle exercising the documented tuple returns:
+    -- string => mutation, (nil, nil) => discard, (nil, err) => abort.
+    local cjson = require "cjson"
+
+    return {
+      create = function(json_params)
+        local params = cjson.decode(json_params)
+        return { prefix = params["prefix"] or "xx" }
+      end,
+
+      filter = function(ctx, value)
+        if string.match(value, "%d") then
+          return nil, nil                      -- digits => discard
+        end
+        if value == "poison" then
+          return nil, "poison token"           -- => ERROR action
+        end
+        if string.sub(value, 1, #ctx.prefix) == ctx.prefix then
+          return string.sub(value, #ctx.prefix + 1)
+        end
+        return value
+      end,
+    }
+''')
+
+
+def test_lua_filter_embedded(tmp_path):
+    """.lua filter files load WITHOUT lupa via the embedded Lua-subset
+    interpreter, with reference tuple semantics end-to-end."""
+    p = tmp_path / "strip-lua.lua"
+    p.write_text(LUA_PLUGIN_SRC)
+    name = load_lua_filter(str(p))
+    assert name == "strip-lua"
+    fp = FilterPipeline(("strip-lua",), {"prefix": "xx"})
+    assert fp.run("xxtoken") == "token"        # mutation
+    assert fp.run("plain") == "plain"          # pass-through
+    assert fp.run("abc123") is None            # (nil, nil) ⇒ DISCARD
+    with pytest.raises(RuntimeError, match="poison"):
+        fp.run("poison")                       # (nil, err) ⇒ ERROR
+
+
+def test_lua_filter_in_chain_with_builtins(tmp_path):
+    p = tmp_path / "striplua2.lua"
+    p.write_text(LUA_PLUGIN_SRC)
+    load_lua_filter(str(p))
+    fp = FilterPipeline(("normalizer", "striplua2", "stemmer"),
+                        {"lang": "en", "prefix": "xx"})
+    assert fp.run("xxJumping") == "jump"
+
+
+REF_FILTER_LUA = "/root/reference/src/tests/test_filter.lua"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_FILTER_LUA),
+                    reason="reference checkout not present")
+def test_reference_lua_filter_drop_in():
+    """The reference's own test filter module loads from its checkout
+    path unmodified and lowercases through the pipeline — the drop-in
+    parity the Lua host exists for (src/core/filters_lua.c:224-289)."""
+    name = load_lua_filter(REF_FILTER_LUA, name="ref-test-filter")
+    fp = FilterPipeline((name,), {"lang": "en"})
+    assert fp.run("HeLLo") == "hello"
+    assert fp.run("WORLD") == "world"
+
+
+def test_lua_plugin_loads_inside_ray_actors(ray_session, tmp_path):
+    """A .lua plugin listed in config.plugin_files registers inside
+    every Ray worker through the embedded interpreter."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nxsearch_ray.config import PipelineConfig
+    from nxsearch_ray.stages.canonicalize import canonicalize_stage
+
+    p = tmp_path / "lua-strip.lua"
+    p.write_text(LUA_PLUGIN_SRC)
+    cfg = PipelineConfig(
+        filters=("normalizer", "lua-strip", "stemmer"),
+        plugin_files=(str(p),))
+    pages = pa.table({
+        "page_id": pa.array([1, 2], pa.int64()),
+        "text": ["xxJumping foxes 42 xx", "plain xxwords"],
+        "lang": ["en", "en"],
+    })
+    out = canonicalize_stage(rd.from_arrow(pages), cfg,
+                             include_tokens=True, concurrency=2)
+    rows = {r["page_id"]: r["tokens"] for r in out.take_all()}
+    assert rows[1] == ["jump", "fox"]
+    assert rows[2] == ["plain", "word"]
 
 
 def test_plugin_loads_inside_ray_actors(ray_session, plugin_file,
