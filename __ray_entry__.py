@@ -139,6 +139,27 @@ def q_doc_stats(sf_dir: str):
         .drop_columns(["text"])
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition fractions per document
+    (stages/textstats.py repetition_stats; SQL twin alongside)."""
+    import ray.data
+
+    from nxsearch_ray.stages.textstats import repetition_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+def q_line_dedup(sf_dir: str):
+    """CCNet-style corpus-level line dedup over the pages table
+    (stages/linededup.py): census shuffle + broadcast boilerplate set
+    + key-disjoint reassembly."""
+    from nxsearch_ray.stages.linededup import line_dedup
+
+    return line_dedup(_pages(sf_dir, include_html=False))
+
+
 def q_lang_counts(sf_dir: str):
     import ray.data
 
@@ -578,6 +599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": q_extract_text,
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
+        "repetition_stats": q_repetition_stats,
+        "line_dedup": q_line_dedup,
         "lang_counts": q_lang_counts,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,
@@ -609,7 +632,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from nxsearch_ray.stages.textstats import _LANG_MARKERS, doc_stats_sql
+    from nxsearch_ray.stages.linededup import line_dedup_sql
+    from nxsearch_ray.stages.textstats import (_LANG_MARKERS, doc_stats_sql,
+                                               repetition_stats_sql)
 
     markers_values = ", ".join(
         f"('{w}', '{lang}')"
@@ -635,6 +660,8 @@ SELECT md5(text) AS text_md5, count(*) AS n_dups,
 FROM pages GROUP BY md5(text) HAVING count(*) >= 2
 """,
         "doc_stats": f"SELECT doc_id, {stats_select} FROM documents",
+        "repetition_stats": repetition_stats_sql(),
+        "line_dedup": line_dedup_sql(PAGES_CTE),
         "lang_counts": ("SELECT lang, count(*) AS n_docs FROM documents "
                         "GROUP BY lang"),
         "ngram_jaccard": f"""

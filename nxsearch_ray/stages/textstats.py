@@ -205,3 +205,111 @@ def fingerprint(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     roll = sequence_hashes(flat, offsets)
     out = batch.append_column("md5", pa.array(md5s, type=pa.string()))
     return out.append_column("rolling64", pa.array(roll, type=pa.uint64()))
+
+
+# ------------------------------------------------------------------
+# repetition statistics (Gopher-style quality rules)
+
+def _per_key_reduce(keys: np.ndarray, n_docs: int):
+    """Group doc-scoped keys (doc_idx<<32 | code) and reduce.
+
+    Returns (per-doc max group size, per-doc distinct group count) as
+    float64 arrays of length n_docs (zeros where a doc has no keys).
+    One np.unique + two reduceat passes — no Python per doc."""
+    max_cnt = np.zeros(n_docs, dtype=np.float64)
+    n_distinct = np.zeros(n_docs, dtype=np.float64)
+    if len(keys) == 0:
+        return max_cnt, n_distinct
+    uk, cnt = np.unique(keys, return_counts=True)
+    docs = (uk >> 32).astype(np.int64)
+    starts = np.r_[0, np.flatnonzero(np.diff(docs)) + 1]
+    doc_of_run = docs[starts]
+    max_cnt[doc_of_run] = np.maximum.reduceat(cnt, starts)
+    n_distinct[doc_of_run] = np.diff(np.r_[starts, len(uk)])
+    return max_cnt, n_distinct
+
+
+def repetition_stats(batch: pa.Table, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Per-document repetition fractions — the Gopher repetition rules
+    (Rae et al. 2021, table A1) at word/bigram granularity:
+
+      * ``top_word_frac``   — occurrences of the most frequent word
+        over total words;
+      * ``dup_word_frac``   — fraction of word occurrences that are
+        repeats (1 − distinct/total);
+      * ``top_bigram_frac`` / ``dup_bigram_frac`` — same over adjacent
+        word pairs.
+
+    Splits on a single space, exactly like the SQL twin
+    (`repetition_stats_sql`), so the DuckDB oracle reproduces every
+    column bit-for-bit (integer counts divided as float64).  Fully
+    vectorized: one dictionary-encode for word ids, packed int64
+    doc-scoped keys, np.unique + reduceat — no per-document Python."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    parts = pc.split_pattern(text, " ")
+    offsets = parts.offsets.to_numpy()
+    n_docs = len(parts)
+    counts = np.diff(offsets)                      # words per doc (>=1)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    codes = pc.dictionary_encode(parts.values).indices.to_numpy() \
+        .astype(np.int64)
+
+    wkey = (doc_idx << 32) | codes
+    max_w, dist_w = _per_key_reduce(wkey, n_docs)
+
+    same = doc_idx[:-1] == doc_idx[1:]
+    pair = ((codes[:-1] << 32) | codes[1:])[same]
+    _, pair_code = np.unique(pair, return_inverse=True)
+    bkey = (doc_idx[:-1][same] << 32) | pair_code
+    max_b, dist_b = _per_key_reduce(bkey, n_docs)
+
+    n_words = counts.astype(np.float64)
+    n_bigrams = np.maximum(counts - 1, 0).astype(np.float64)
+    safe_b = np.maximum(n_bigrams, 1.0)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_words": pa.array(counts, type=pa.int64()),
+        "top_word_frac": max_w / n_words,
+        "dup_word_frac": (n_words - dist_w) / n_words,
+        "top_bigram_frac": max_b / safe_b,
+        "dup_bigram_frac": (n_bigrams - dist_b) / safe_b,
+    })
+
+
+def repetition_stats_sql(table: str = "documents",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB query mirroring `repetition_stats` column-for-column."""
+    return f"""
+WITH w AS (
+  SELECT {id_col},
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM {table}),
+base AS (SELECT {id_col}, len(string_split(text, ' ')) AS n_words
+         FROM {table}),
+wc AS (SELECT {id_col}, w, count(*) AS c FROM w GROUP BY 1, 2),
+wagg AS (SELECT {id_col}, max(c) AS max_w, count(*) AS nd_w
+         FROM wc GROUP BY 1),
+bi AS (SELECT {id_col}, w,
+              lead(w) OVER (PARTITION BY {id_col} ORDER BY pos) AS w2
+       FROM w),
+bc AS (SELECT {id_col}, w, w2, count(*) AS c
+       FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+bagg AS (SELECT {id_col}, max(c) AS max_b, count(*) AS nd_b,
+                sum(c) AS n_b
+         FROM bc GROUP BY 1)
+SELECT b.{id_col}, b.n_words,
+       wagg.max_w::DOUBLE / b.n_words AS top_word_frac,
+       (b.n_words - wagg.nd_w)::DOUBLE / b.n_words AS dup_word_frac,
+       CASE WHEN coalesce(bagg.n_b, 0) = 0 THEN 0.0
+            ELSE bagg.max_b::DOUBLE / bagg.n_b END AS top_bigram_frac,
+       CASE WHEN coalesce(bagg.n_b, 0) = 0 THEN 0.0
+            ELSE (bagg.n_b - bagg.nd_b)::DOUBLE / bagg.n_b
+            END AS dup_bigram_frac
+FROM base b
+JOIN wagg USING ({id_col})
+LEFT JOIN bagg USING ({id_col})
+"""
