@@ -1,0 +1,136 @@
+"""HTTP service façade (nxsearch_ray/svc.py) — the reference's REST
+surface.  The headline test replays the reference's own E2E script
+(tools/svc_test.sh): create → add 3 docs → search "cat" must return
+doc ids [3, 1] → delete."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from nxsearch_ray.svc import _dirlevels, make_server
+
+
+@pytest.fixture(scope="module")
+def svc(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("svc")
+    srv = make_server(str(base))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", srv
+    srv.shutdown()
+
+
+def _req(url: str, method: str = "GET", body: bytes | None = None):
+    req = urllib.request.Request(url, data=body, method=method)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_svc_e2e_golden(svc):
+    """tools/svc_test.sh replayed: the search must return [3, 1]."""
+    url, _ = svc
+    idx = "__test-index-svc-1"
+    assert _req(f"{url}/{idx}", "POST")[0] == 201
+    # invalid index name → 400 (str_isalnumdu rejects '~')
+    assert _req(f"{url}/%7E", "POST")[0] == 400
+    assert _req(f"{url}/{idx}/add/1", "POST", b"cat dog cow")[0] == 201
+    assert _req(f"{url}/{idx}/add/2", "POST", b"dog cow")[0] == 201
+    assert _req(f"{url}/{idx}/add/3", "POST", b"cat cat cat")[0] == 201
+
+    code, body = _req(f"{url}/{idx}/search", "POST", b"cat")
+    assert code == 200
+    resp = json.loads(body)
+    assert [r["doc_id"] for r in resp["results"]] == [3, 1]
+    assert resp["count"] == 2
+    assert resp["results"][0]["score"] > resp["results"][1]["score"]
+
+    assert _req(f"{url}/{idx}", "DELETE")[0] == 200
+    # searching a destroyed index → 400
+    assert _req(f"{url}/{idx}/search", "POST", b"cat")[0] == 400
+
+
+def test_svc_doc_lifecycle(svc):
+    url, _ = svc
+    idx = "lifecycle"
+    assert _req(f"{url}/{idx}", "POST")[0] == 201
+    # duplicate index → 400; duplicate doc_id → 400 (ingest guard)
+    assert _req(f"{url}/{idx}", "POST")[0] == 400
+    assert _req(f"{url}/{idx}/add/5", "POST", b"alpha beta")[0] == 201
+    assert _req(f"{url}/{idx}/add/5", "POST", b"again")[0] == 400
+    assert _req(f"{url}/{idx}/add/6", "POST", b"alpha gamma")[0] == 201
+    # doc_id 0 is reserved (caller-assigned non-zero ids)
+    assert _req(f"{url}/{idx}/add/0", "POST", b"zero")[0] == 400
+
+    code, body = _req(f"{url}/{idx}/search?limit=10", "POST", b"alpha")
+    assert code == 200
+    assert {r["doc_id"] for r in json.loads(body)["results"]} == {5, 6}
+
+    assert _req(f"{url}/{idx}/remove/5", "DELETE")[0] == 200
+    assert _req(f"{url}/{idx}/remove/5", "DELETE")[0] == 400
+    code, body = _req(f"{url}/{idx}/search", "POST", b"alpha")
+    assert [r["doc_id"] for r in json.loads(body)["results"]] == [6]
+    _req(f"{url}/{idx}", "DELETE")
+
+
+def test_svc_store_and_fetch(svc):
+    """?store keeps raw text in the reference's 2-level hashed layout;
+    ?fetch inlines it in search results (fetch_resp_to_json)."""
+    url, srv = svc
+    idx = "fetchable"
+    assert _req(f"{url}/{idx}", "POST")[0] == 201
+    assert _req(f"{url}/{idx}/add/123?store=1", "POST",
+                b"stored fox text")[0] == 201
+    code, body = _req(f"{url}/{idx}/search?fetch=1", "POST", b"fox")
+    assert code == 200
+    rows = json.loads(body)["results"]
+    assert rows[0]["doc_id"] == 123
+    assert rows[0]["content"] == "stored fox text"
+    # layout check: 123 % 16 = 0xb, 123 // 16 = 7
+    assert _dirlevels(123) == "b/07"
+    store = srv.store
+    assert store.fetch_raw(idx, 123) == "stored fox text"
+    _req(f"{url}/{idx}", "DELETE")
+
+
+def test_svc_search_params(svc):
+    url, _ = svc
+    idx = "params"
+    assert _req(f"{url}/{idx}", "POST",
+                json.dumps({"lang": "en"}).encode())[0] == 201
+    for d, text in ((1, "fox jumps"), (2, "fox fox fox"),
+                    (3, "unrelated")):
+        _req(f"{url}/{idx}/add/{d}", "POST", text.encode())
+    # limit caps results
+    code, body = _req(f"{url}/{idx}/search?limit=1", "POST", b"fox")
+    assert len(json.loads(body)["results"]) == 1
+    # tf-idf algo accepted
+    code, body = _req(f"{url}/{idx}/search?algo=TF-IDF", "POST", b"fox")
+    assert code == 200 and json.loads(body)["count"] == 2
+    # fuzzymatch resolves a typo'd term (≤2 edits)
+    code, body = _req(f"{url}/{idx}/search", "POST", b"foxx")
+    assert json.loads(body)["count"] == 2
+    # ...and can be disabled
+    code, body = _req(f"{url}/{idx}/search?fuzzymatch=false", "POST",
+                      b"foxx")
+    assert json.loads(body)["count"] == 0
+    _req(f"{url}/{idx}", "DELETE")
+
+
+def test_svc_lua_filter_post(svc, monkeypatch):
+    url, _ = svc
+    lua = b"return { filter = function(ctx, v) return v end }"
+    # gated off by default (NXS_ENABLE_LUA_POST, reference parity)
+    monkeypatch.delenv("NXS_ENABLE_LUA_POST", raising=False)
+    assert _req(f"{url}/filters/passthru/lua", "POST", lua)[0] == 400
+    monkeypatch.setenv("NXS_ENABLE_LUA_POST", "1")
+    assert _req(f"{url}/filters/passthru/lua", "POST", lua)[0] == 201
+    # non-alphanumeric filter names rejected (nxsearch_svc.lua:237)
+    assert _req(f"{url}/filters/bad-name/lua", "POST", lua)[0] == 400
+    # the filter is now registered in the serving process
+    from nxsearch_ray.functions.filters import filter_registered
+    assert filter_registered("passthru")
