@@ -160,6 +160,31 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(_pages(sf_dir, include_html=False))
 
 
+def q_pack_sequences(sf_dir: str):
+    """Token-budget sequence packing via distributed prefix scan
+    (stages/packing.py)."""
+    import ray.data
+
+    from nxsearch_ray.stages.packing import pack_sequences
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return pack_sequences(ds, budget=512)
+
+
+def q_token_quantiles(sf_dir: str):
+    """Exact discrete token-count quantiles from a distributed value
+    census (stages/packing.py exact_quantiles)."""
+    import ray.data
+
+    from nxsearch_ray.stages.packing import count_tokens, exact_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow")
+    return exact_quantiles(counted, "n_tokens")
+
+
 def q_lang_counts(sf_dir: str):
     import ray.data
 
@@ -600,6 +625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
         "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
+        "token_quantiles": q_token_quantiles,
         "line_dedup": q_line_dedup,
         "lang_counts": q_lang_counts,
         "ngram_jaccard": q_ngram_jaccard,
@@ -633,6 +660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from nxsearch_ray.stages.linededup import line_dedup_sql
+    from nxsearch_ray.stages.packing import (exact_quantiles_sql,
+                                             pack_sequences_sql)
     from nxsearch_ray.stages.textstats import (_LANG_MARKERS, doc_stats_sql,
                                                repetition_stats_sql)
 
@@ -661,6 +690,9 @@ FROM pages GROUP BY md5(text) HAVING count(*) >= 2
 """,
         "doc_stats": f"SELECT doc_id, {stats_select} FROM documents",
         "repetition_stats": repetition_stats_sql(),
+        "pack_sequences": pack_sequences_sql(budget=512),
+        "token_quantiles": exact_quantiles_sql(
+            "documents", r"len(regexp_extract_all(text, '\S+'))"),
         "line_dedup": line_dedup_sql(PAGES_CTE),
         "lang_counts": ("SELECT lang, count(*) AS n_docs FROM documents "
                         "GROUP BY lang"),
