@@ -185,6 +185,18 @@ def q_token_quantiles(sf_dir: str):
     return exact_quantiles(counted, "n_tokens")
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact quantiles of a float column (events.value) via the
+    sorted-rank plan (stages/packing.py exact_quantiles_sorted)."""
+    import ray.data
+
+    from nxsearch_ray.stages.packing import exact_quantiles_sorted
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return exact_quantiles_sorted(ds, "value")
+
+
 def q_lang_counts(sf_dir: str):
     import ray.data
 
@@ -627,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
         "token_quantiles": q_token_quantiles,
+        "value_quantiles": q_value_quantiles,
         "line_dedup": q_line_dedup,
         "lang_counts": q_lang_counts,
         "ngram_jaccard": q_ngram_jaccard,
@@ -693,6 +706,7 @@ FROM pages GROUP BY md5(text) HAVING count(*) >= 2
         "pack_sequences": pack_sequences_sql(budget=512),
         "token_quantiles": exact_quantiles_sql(
             "documents", r"len(regexp_extract_all(text, '\S+'))"),
+        "value_quantiles": exact_quantiles_sql("events", "value"),
         "line_dedup": line_dedup_sql(PAGES_CTE),
         "lang_counts": ("SELECT lang, count(*) AS n_docs FROM documents "
                         "GROUP BY lang"),

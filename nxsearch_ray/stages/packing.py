@@ -165,3 +165,49 @@ SELECT * FROM (
            AS value
   FROM vals)
 """
+
+
+def exact_quantiles_sorted(ds, col: str, qs=DEFAULT_QS) -> pa.Table:
+    """Exact discrete quantiles for columns where a value census would
+    be corpus-sized (floats, all-distinct values): one distributed
+    ``sort(col)`` — blocks come back range-ordered — then the
+    ceil(q·n)-th row is located by per-block row counts (metadata) and
+    only those blocks are fetched.  Same quantile_disc semantics as
+    `exact_quantiles`."""
+    import ray
+
+    blocks = ds.select_columns([col]).sort(col).materialize()
+    refs = blocks.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows if t.num_columns else 0
+
+    counts = np.asarray(ray.get([nrows.remote(r) for r in refs]),
+                        dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+
+    @ray.remote
+    def fetch(t: pa.Table, idxs: list) -> list:
+        c = t.column(col)
+        return [c[i].as_py() for i in idxs]
+
+    # group the wanted global ranks by owning block; fetch each block once
+    per_block: dict[int, list[tuple[int, int]]] = {}
+    for qi, q in enumerate(qs):
+        rank = max(int(math.ceil(q * n)), 1) - 1      # 0-based global
+        b = int(np.searchsorted(cum, rank + 1))
+        local = rank - (int(cum[b - 1]) if b else 0)
+        per_block.setdefault(b, []).append((qi, local))
+    out: list = [None] * len(qs)
+    got = ray.get([fetch.remote(refs[b], [loc for _, loc in pairs])
+                   for b, pairs in per_block.items()])
+    for pairs, vals in zip(per_block.values(), got):
+        for (qi, _), v in zip(pairs, vals):
+            out[qi] = v
+    return pa.table({"q": pa.array(list(qs), pa.float64()),
+                     "value": pa.array(out)})

@@ -93,3 +93,32 @@ def test_quantile_disc_semantics(ray_session):
     t = pa.table({"v": pa.array(range(1, 11), pa.int64())})
     out = exact_quantiles(rd.from_arrow(t), "v", qs=(0.5, 0.9))
     assert out.column("value").to_pylist() == [5, 9]
+
+
+def test_quantiles_sorted_float_matches_duckdb(ray_session, sf_dir):
+    """Sorted-rank plan on an all-distinct float column."""
+    import ray.data as rd
+
+    from nxsearch_ray.stages.packing import exact_quantiles_sorted
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    got = exact_quantiles_sorted(ds, "value")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = con.execute(exact_quantiles_sql("events", "value")).fetchdf()
+    assert (got.to_pandas().values == want.values).all()
+
+
+def test_quantiles_sorted_matches_census_plan(ray_session):
+    """Both quantile plans agree on the same integer data."""
+    import ray.data as rd
+
+    from nxsearch_ray.stages.packing import exact_quantiles_sorted
+
+    rng = np.random.default_rng(11)
+    t = pa.table({"v": pa.array(rng.integers(0, 50, size=500),
+                                pa.int64())})
+    a = exact_quantiles(rd.from_arrow(t), "v")
+    b = exact_quantiles_sorted(rd.from_arrow(t), "v")
+    assert a.column("value").to_pylist() == b.column("value").to_pylist()
