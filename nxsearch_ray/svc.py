@@ -60,12 +60,23 @@ def _dirlevels(doc_id: int) -> str:
 
 
 class IndexStore:
-    """On-disk index state under ``{base}/data/{name}/``."""
+    """On-disk index state under ``{base}/data/{name}/``.
+
+    Open indexes are cached like the reference service's per-worker
+    index LRU (nxsearch_svc.lua:17-18, 71-83 / SURVEY §2 ST7): the
+    materialized canonical token table and fuzzy vocabulary live in
+    the object store keyed by an on-disk generation counter that every
+    add/remove bumps, so a search on an unchanged index skips the
+    canonicalize pass entirely."""
+
+    CACHE_SLOTS = 16
 
     def __init__(self, base_dir: str):
         self.base = base_dir
         os.makedirs(os.path.join(base_dir, "data"), exist_ok=True)
         os.makedirs(os.path.join(base_dir, "filters"), exist_ok=True)
+        # name -> (generation, canonical MaterializedDataset, vocab_ref)
+        self._open: dict[str, tuple[int, object, object]] = {}
 
     # -- paths ---------------------------------------------------------
     def index_dir(self, name: str) -> str:
@@ -91,9 +102,29 @@ class IndexStore:
         os.makedirs(self.parts_dir(name))
         with open(os.path.join(d, "params.json"), "w") as f:
             json.dump(params, f)
+        self._bump(name)
 
     def destroy(self, name: str) -> None:
         shutil.rmtree(self.index_dir(name))
+        self._open.pop(name, None)
+
+    # -- open-index cache (ST7 analogue) -----------------------------
+    def _gen_path(self, name: str) -> str:
+        return os.path.join(self.index_dir(name), "generation")
+
+    def _bump(self, name: str) -> None:
+        """Invalidate cached state after any mutation."""
+        g = self.generation(name) + 1
+        with open(self._gen_path(name), "w") as f:
+            f.write(str(g))
+        self._open.pop(name, None)
+
+    def generation(self, name: str) -> int:
+        try:
+            with open(self._gen_path(name)) as f:
+                return int(f.read().strip() or 0)
+        except OSError:
+            return 0
 
     def params(self, name: str) -> dict:
         with open(os.path.join(self.index_dir(name), "params.json")) as f:
@@ -120,6 +151,7 @@ class IndexStore:
                       "text": pa.array([text], pa.string()),
                       "lang": pa.array([lang], pa.string())})
         pq.write_table(t, path)
+        self._bump(name)
         if store_raw:
             raw = self._raw_path(name, doc_id)
             os.makedirs(os.path.dirname(raw), exist_ok=True)
@@ -132,6 +164,7 @@ class IndexStore:
         raw = self._raw_path(name, doc_id)
         if os.path.exists(raw):
             os.remove(raw)
+        self._bump(name)
 
     def fetch_raw(self, name: str, doc_id: int) -> str | None:
         try:
@@ -170,16 +203,26 @@ class IndexStore:
             import pyarrow as pa
             return pa.schema([("doc_id", pa.int64()),
                               ("score", pa.float64())]).empty_table()
-        ds = ray.data.read_parquet(paths)
-        # the vocabulary (fuzzy) path needs the string tokens column
-        canonical = canonicalize_stage(
-            ds, cfg, include_tokens=fuzzymatch).materialize()
-        vref = None
-        if fuzzymatch:
-            vref = build_vocab_index_ref(vocabulary(canonical))
+        gen = self.generation(name)
+        cached = self._open.get(name)
+        if cached is not None and cached[0] == gen:
+            _, canonical, vref = cached
+            if fuzzymatch and vref is None:
+                vref = build_vocab_index_ref(vocabulary(canonical))
+                self._open[name] = (gen, canonical, vref)
+        else:
+            ds = ray.data.read_parquet(paths)
+            # tokens column kept so a later fuzzy search can build the
+            # vocabulary from the cached canonical table
+            canonical = canonicalize_stage(
+                ds, cfg, include_tokens=True).materialize()
+            vref = build_vocab_index_ref(vocabulary(canonical))                 if fuzzymatch else None
+            if len(self._open) >= self.CACHE_SLOTS:   # simple LRU
+                self._open.pop(next(iter(self._open)))
+            self._open[name] = (gen, canonical, vref)
         return term_search(canonical, query, cfg, algo=algo,
                            limit=limit, id_col="doc_id",
-                           fuzzy_vocab_ref=vref)
+                           fuzzy_vocab_ref=vref if fuzzymatch else None)
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -134,3 +134,24 @@ def test_svc_lua_filter_post(svc, monkeypatch):
     # the filter is now registered in the serving process
     from nxsearch_ray.functions.filters import filter_registered
     assert filter_registered("passthru")
+
+
+def test_svc_index_cache_generations(svc):
+    """The open-index cache (reference index-LRU analogue) serves
+    repeat searches from the cached canonical table and invalidates on
+    mutation."""
+    url, srv = svc
+    idx = "cached"
+    assert _req(f"{url}/{idx}", "POST")[0] == 201
+    _req(f"{url}/{idx}/add/1", "POST", b"red green blue")
+    g0 = srv.store.generation(idx)
+    _req(f"{url}/{idx}/search", "POST", b"red")
+    assert srv.store._open[idx][0] == g0          # cached at current gen
+    cached_tbl = srv.store._open[idx][1]
+    _req(f"{url}/{idx}/search", "POST", b"green")
+    assert srv.store._open[idx][1] is cached_tbl  # reused, not rebuilt
+    _req(f"{url}/{idx}/add/2", "POST", b"red yellow")
+    assert idx not in srv.store._open             # invalidated
+    code, body = _req(f"{url}/{idx}/search", "POST", b"red")
+    assert json.loads(body)["count"] == 2         # fresh build sees doc 2
+    _req(f"{url}/{idx}", "DELETE")
