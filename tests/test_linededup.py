@@ -130,3 +130,23 @@ def test_repetition_stats_batch_independence():
     parts = pa.concat_tables(
         [repetition_stats(t.slice(i, 7)) for i in range(0, 40, 7)])
     assert whole.equals(parts)
+
+
+def test_line_dedup_newline_mode_end_to_end(ray_session):
+    """Real multi-line text (words_per_line=None): shared nav/footer
+    lines vanish, unique lines survive in order."""
+    import ray.data as rd
+
+    nav, footer = "HOME | ABOUT | CONTACT", "(c) example.org 2024"
+    t = pa.table({
+        "page_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [f"{nav}\nfirst page body\n{footer}",
+                 f"{nav}\nsecond page body\nextra line\n{footer}",
+                 "standalone page\nwith its own lines"],
+    })
+    out = {r["page_id"]: r for r in
+           line_dedup(rd.from_arrow(t), words_per_line=None).take_all()}
+    assert out[1]["clean_text"] == "first page body"
+    assert out[2]["clean_text"] == "second page body\nextra line"
+    assert out[2]["n_lines"] == 4 and out[2]["n_lines_kept"] == 2
+    assert out[3]["clean_text"] == "standalone page\nwith its own lines"
