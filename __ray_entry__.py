@@ -197,6 +197,32 @@ def q_value_quantiles(sf_dir: str):
     return exact_quantiles_sorted(ds, "value")
 
 
+def q_url_canonical(sf_dir: str):
+    """URL canonicalization (stages/urlnorm.py): a deterministically
+    messied URL per page (uppercase scheme/host, www., default port,
+    shuffled query params, fragment) must collapse to canonical form;
+    the SQL oracle applies the identical rules."""
+    import pyarrow.compute as pc
+
+    from nxsearch_ray.stages.urlnorm import url_canonicalize
+
+    def mess_and_canon(t: pa.Table) -> pa.Table:
+        ids = t.column("page_id")
+        src = pc.struct_field(pc.extract_regex(
+            t.column("url"), r"^https://(?P<s>[^.]*)\."), "s")
+        messy = pc.binary_join_element_wise(
+            "HTTPS://WWW.", pc.utf8_upper(src),
+            ".EXAMPLE.ORG:443/doc/", pc.cast(ids, pa.string()),
+            "?b=", pc.cast(pc.bit_wise_and(ids, 3), pa.string()),
+            "&a=1&#frag", "")
+        return url_canonicalize(
+            pa.table({"page_id": ids, "url_messy": messy}),
+            url_col="url_messy")
+
+    return _pages(sf_dir, include_html=False).map_batches(
+        mess_and_canon, batch_format="pyarrow")
+
+
 def q_lang_counts(sf_dir: str):
     import ray.data
 
@@ -640,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "token_quantiles": q_token_quantiles,
         "value_quantiles": q_value_quantiles,
+        "url_canonical": q_url_canonical,
         "line_dedup": q_line_dedup,
         "lang_counts": q_lang_counts,
         "ngram_jaccard": q_ngram_jaccard,
@@ -675,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
     from nxsearch_ray.stages.linededup import line_dedup_sql
     from nxsearch_ray.stages.packing import (exact_quantiles_sql,
                                              pack_sequences_sql)
+    from nxsearch_ray.stages.urlnorm import url_canonicalize_sql
     from nxsearch_ray.stages.textstats import (_LANG_MARKERS, doc_stats_sql,
                                                repetition_stats_sql)
 
@@ -707,6 +735,18 @@ FROM pages GROUP BY md5(text) HAVING count(*) >= 2
         "token_quantiles": exact_quantiles_sql(
             "documents", r"len(regexp_extract_all(text, '\S+'))"),
         "value_quantiles": exact_quantiles_sql("events", "value"),
+        "url_canonical": f"""
+WITH {PAGES_CTE},
+m AS (SELECT page_id,
+             'HTTPS://WWW.'
+               || upper(regexp_extract(url, '^https://([^.]*)\\.', 1))
+               || '.EXAMPLE.ORG:443/doc/' || page_id
+               || '?b=' || (page_id & 3) || '&a=1&#frag' AS url_messy
+      FROM pages)
+SELECT page_id, url_messy,
+       {url_canonicalize_sql("url_messy")} AS url_canon
+FROM m
+""",
         "line_dedup": line_dedup_sql(PAGES_CTE),
         "lang_counts": ("SELECT lang, count(*) AS n_docs FROM documents "
                         "GROUP BY lang"),
