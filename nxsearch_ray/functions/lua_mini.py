@@ -784,9 +784,8 @@ def _lua_format(fmt: str, *args):
             arg = args[ai]
             ai += 1
             if conv in "di":
-                out.append(spec[:-1].replace("%", "%") % int(_arith_num(
-                    arg, "format")) if False else
-                    (spec[:-1] + "d") % int(_arith_num(arg, "format")))
+                out.append((spec[:-1] + "d") %
+                           int(_arith_num(arg, "format")))
             elif conv in "eEfgG":
                 out.append(spec % float(_arith_num(arg, "format")))
             elif conv in "xXo":

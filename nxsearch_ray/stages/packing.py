@@ -67,6 +67,12 @@ def pack_sequences(ds, *, budget: int, order_col: str = "doc_id",
     # phase 0: range-partition into globally ordered blocks
     blocks = ds.sort(order_col).materialize()
     refs = [r for r in blocks.to_arrow_refs()]
+    if not refs:
+        import ray.data
+        return ray.data.from_arrow(pa.schema([
+            (order_col, pa.int64()), ("n_tokens", pa.int64()),
+            ("pack_id", pa.int64()),
+            ("pack_offset", pa.int64())]).empty_table())
 
     @ray.remote
     def block_sum(t: pa.Table) -> int:
