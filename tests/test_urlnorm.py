@@ -52,3 +52,30 @@ def test_batch_shapes():
     ])
     out = url_canonicalize(chunked).column("url_canon").to_pylist()
     assert out == ["https://a.b/x", "https://c.d/?a=1&b=2"]
+
+
+def test_canonicalization_idempotent():
+    """canon(canon(u)) == canon(u) — required for recrawl keying."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    host = st.from_regex(r"[a-z][a-z0-9.-]{0,20}", fullmatch=True)
+    path = st.from_regex(r"(/[A-Za-z0-9._~-]{0,8}){0,4}", fullmatch=True)
+    query = st.from_regex(r"(\?([a-z]=[0-9]{0,3}&?){0,5})?",
+                          fullmatch=True)
+    frag = st.from_regex(r"(#[a-z0-9]{0,6})?", fullmatch=True)
+    scheme = st.sampled_from(["http", "HTTPS", "https", "HtTp"])
+    www = st.sampled_from(["", "www.", "WWW."])
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+
+    @settings(max_examples=200, deadline=None)
+    @given(scheme, www, host, port, path, query, frag)
+    def run(sc, w, h, po, pa_, q, f):
+        url = f"{sc}://{w}{h}{po}{pa_}{q}{f}"
+        t = pa.table({"url": pa.array([url], pa.string())})
+        once = url_canonicalize(t).column("url_canon").to_pylist()[0]
+        t2 = pa.table({"url": pa.array([once], pa.string())})
+        twice = url_canonicalize(t2).column("url_canon").to_pylist()[0]
+        assert twice == once, (url, once, twice)
+
+    run()
