@@ -223,6 +223,20 @@ def q_url_canonical(sf_dir: str):
         mess_and_canon, batch_format="pyarrow")
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization over the event stream — the keyed
+    windowed aggregate (stages/sessionize.py): one entity exchange +
+    vectorized per-block break/cumsum scan."""
+    import ray.data
+
+    from nxsearch_ray.stages.sessionize import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+    return sessionize(ds, gap_s=1800)
+
+
 def q_lang_counts(sf_dir: str):
     import ray.data
 
@@ -667,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": q_token_quantiles,
         "value_quantiles": q_value_quantiles,
         "url_canonical": q_url_canonical,
+        "sessionize": q_sessionize,
         "line_dedup": q_line_dedup,
         "lang_counts": q_lang_counts,
         "ngram_jaccard": q_ngram_jaccard,
@@ -702,6 +717,7 @@ def oracle_sql() -> dict[str, str]:
     from nxsearch_ray.stages.linededup import line_dedup_sql
     from nxsearch_ray.stages.packing import (exact_quantiles_sql,
                                              pack_sequences_sql)
+    from nxsearch_ray.stages.sessionize import sessionize_sql
     from nxsearch_ray.stages.urlnorm import url_canonicalize_sql
     from nxsearch_ray.stages.textstats import (_LANG_MARKERS, doc_stats_sql,
                                                repetition_stats_sql)
@@ -735,6 +751,7 @@ FROM pages GROUP BY md5(text) HAVING count(*) >= 2
         "token_quantiles": exact_quantiles_sql(
             "documents", r"len(regexp_extract_all(text, '\S+'))"),
         "value_quantiles": exact_quantiles_sql("events", "value"),
+        "sessionize": sessionize_sql(gap_s=1800),
         "url_canonical": f"""
 WITH {PAGES_CTE},
 m AS (SELECT page_id,
