@@ -268,9 +268,10 @@ def run_scaling() -> dict:
     pairs = []
     for _ in range(n_pairs):
         # hi runs are ~3x cheaper: take an extra sample there (a
-        # better min estimator, same estimator both sides)
-        r_lo = run(lo, 2)
-        r_hi = run(hi, 3)
+        # better min estimator, same estimator both sides); raise the
+        # rep counts when the host is drifting within a level
+        r_lo = run(lo, int(os.environ.get("BENCH_SCALE_REPS_LO", "2")))
+        r_hi = run(hi, int(os.environ.get("BENCH_SCALE_REPS_HI", "3")))
         # same-window host ceiling: even a pure busy-loop (no Ray, no
         # memory traffic) scales this much or less right now
         pair_ceiling = cpu_burn_ceiling(lo, hi)
