@@ -237,6 +237,19 @@ def q_sessionize(sf_dir: str):
     return sessionize(ds, gap_s=1800)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language uniform sample (corpus balancing) —
+    hash-ordered per-group top-k (stages/sampling.py)."""
+    import ray.data
+
+    from nxsearch_ray.stages.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return stratified_sample(ds, group_col="lang", id_col="doc_id",
+                             k=10, seed=7)
+
+
 def q_lang_counts(sf_dir: str):
     import ray.data
 
@@ -682,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": q_value_quantiles,
         "url_canonical": q_url_canonical,
         "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
         "lang_counts": q_lang_counts,
         "ngram_jaccard": q_ngram_jaccard,
@@ -717,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
     from nxsearch_ray.stages.linededup import line_dedup_sql
     from nxsearch_ray.stages.packing import (exact_quantiles_sql,
                                              pack_sequences_sql)
+    from nxsearch_ray.stages.sampling import stratified_sample_sql
     from nxsearch_ray.stages.sessionize import sessionize_sql
     from nxsearch_ray.stages.urlnorm import url_canonicalize_sql
     from nxsearch_ray.stages.textstats import (_LANG_MARKERS, doc_stats_sql,
@@ -752,6 +767,9 @@ FROM pages GROUP BY md5(text) HAVING count(*) >= 2
             "documents", r"len(regexp_extract_all(text, '\S+'))"),
         "value_quantiles": exact_quantiles_sql("events", "value"),
         "sessionize": sessionize_sql(gap_s=1800),
+        "stratified_sample": stratified_sample_sql(
+            "documents", group_col="lang", id_col="doc_id",
+            columns="doc_id, lang", k=10, seed=7),
         "url_canonical": f"""
 WITH {PAGES_CTE},
 m AS (SELECT page_id,
