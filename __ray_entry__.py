@@ -250,6 +250,20 @@ def q_stratified_sample(sf_dir: str):
                              k=10, seed=7)
 
 
+def q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (stages/packing.py
+    chunk_documents): the RAG/pretraining document chunker."""
+    import ray.data
+
+    from nxsearch_ray.stages.packing import chunk_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: chunk_documents(b, chunk_tokens=64, overlap=16),
+        batch_format="pyarrow")
+
+
 def q_lang_counts(sf_dir: str):
     import ray.data
 
@@ -696,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical": q_url_canonical,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
+        "chunk_documents": q_chunk_documents,
         "line_dedup": q_line_dedup,
         "lang_counts": q_lang_counts,
         "ngram_jaccard": q_ngram_jaccard,
@@ -729,7 +744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from nxsearch_ray.stages.linededup import line_dedup_sql
-    from nxsearch_ray.stages.packing import (exact_quantiles_sql,
+    from nxsearch_ray.stages.packing import (chunk_documents_sql,
+                                             exact_quantiles_sql,
                                              pack_sequences_sql)
     from nxsearch_ray.stages.sampling import stratified_sample_sql
     from nxsearch_ray.stages.sessionize import sessionize_sql
@@ -767,6 +783,8 @@ FROM pages GROUP BY md5(text) HAVING count(*) >= 2
             "documents", r"len(regexp_extract_all(text, '\S+'))"),
         "value_quantiles": exact_quantiles_sql("events", "value"),
         "sessionize": sessionize_sql(gap_s=1800),
+        "chunk_documents": chunk_documents_sql(
+            chunk_tokens=64, overlap=16),
         "stratified_sample": stratified_sample_sql(
             "documents", group_col="lang", id_col="doc_id",
             columns="doc_id, lang", k=10, seed=7),

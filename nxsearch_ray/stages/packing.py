@@ -217,3 +217,82 @@ def exact_quantiles_sorted(ds, col: str, qs=DEFAULT_QS) -> pa.Table:
             out[qi] = v
     return pa.table({"q": pa.array(list(qs), pa.float64()),
                      "value": pa.array(out)})
+
+
+def chunk_documents(batch: pa.Table, *, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 128,
+                    overlap: int = 32) -> pa.Table:
+    """Explode documents into overlapping token windows — the
+    RAG/pretraining chunker.  Chunk ``i`` covers words
+    ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last chunk is the ragged
+    tail.  Fully vectorized (segment arithmetic + one ``take`` + one
+    ``binary_join``); SQL twin: `chunk_documents_sql`."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    parts = pc.split_pattern(text, " ")
+    offsets = parts.offsets.to_numpy().astype(np.int64)
+    n = np.diff(offsets)                              # words per doc
+    n_chunks = 1 + (np.maximum(n - chunk_tokens, 0) + stride - 1) \
+        // stride
+    doc_of_chunk = np.repeat(np.arange(len(batch)), n_chunks)
+    cstarts = np.zeros(len(batch) + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=cstarts[1:])
+    chunk_no = np.arange(int(n_chunks.sum()), dtype=np.int64) - \
+        np.repeat(cstarts[:-1], n_chunks)
+    w_start = chunk_no * stride                       # within-doc
+    w_end = np.minimum(w_start + chunk_tokens, n[doc_of_chunk])
+    lens = w_end - w_start
+    # gather indices: for each chunk, arange(w_start, w_end) offset by
+    # the doc's word base
+    base = offsets[:-1][doc_of_chunk] + w_start
+    total = int(lens.sum())
+    gstarts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=gstarts[1:])
+    idx = np.arange(total, dtype=np.int64) - \
+        np.repeat(gstarts[:-1], lens) + np.repeat(base, lens)
+    taken = parts.values.take(pa.array(idx, type=pa.int64()))
+    lst = pa.ListArray.from_arrays(
+        pa.array(gstarts, type=pa.int32()), taken)
+    return pa.table({
+        id_col: batch.column(id_col).take(
+            pa.array(doc_of_chunk, type=pa.int64())),
+        "chunk_no": pa.array(chunk_no, type=pa.int64()),
+        "n_chunk_tokens": pa.array(lens, type=pa.int64()),
+        "chunk_text": pc.binary_join(lst, " "),
+    })
+
+
+def chunk_documents_sql(table: str = "documents", *,
+                        id_col: str = "doc_id",
+                        chunk_tokens: int = 128,
+                        overlap: int = 32) -> str:
+    """DuckDB query mirroring `chunk_documents`."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH w AS (
+  SELECT {id_col}, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM {table}),
+c AS (
+  SELECT {id_col}, ws, n,
+         1 + (greatest(n - {chunk_tokens}, 0) + {stride} - 1)
+             // {stride} AS n_chunks
+  FROM w),
+u AS (
+  SELECT {id_col}, ws, n,
+         unnest(range(0, n_chunks)) AS chunk_no
+  FROM c)
+SELECT {id_col}, chunk_no::BIGINT AS chunk_no,
+       (least(chunk_no * {stride} + {chunk_tokens}, n)
+        - chunk_no * {stride})::BIGINT AS n_chunk_tokens,
+       array_to_string(list_slice(
+         ws, chunk_no * {stride} + 1,
+         least(chunk_no * {stride} + {chunk_tokens}, n)), ' ')
+         AS chunk_text
+FROM u
+"""

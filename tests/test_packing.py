@@ -122,3 +122,41 @@ def test_quantiles_sorted_matches_census_plan(ray_session):
     a = exact_quantiles(rd.from_arrow(t), "v")
     b = exact_quantiles_sorted(rd.from_arrow(t), "v")
     assert a.column("value").to_pylist() == b.column("value").to_pylist()
+
+
+def test_chunk_documents_windows():
+    from nxsearch_ray.stages.packing import chunk_documents
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": [" ".join(str(i) for i in range(10))]})
+    out = chunk_documents(t, chunk_tokens=4, overlap=1).to_pylist()
+    # stride 3: starts 0,3,6 cover through word 9 (last covers 6..9)
+    assert [r["chunk_no"] for r in out] == [0, 1, 2]
+    assert out[0]["chunk_text"] == "0 1 2 3"
+    assert out[1]["chunk_text"] == "3 4 5 6"
+    assert out[2]["chunk_text"] == "6 7 8 9"
+    # exact-fit doc: one chunk, no degenerate tail
+    t2 = pa.table({"doc_id": pa.array([2], pa.int64()),
+                   "text": ["a b c d"]})
+    out2 = chunk_documents(t2, chunk_tokens=4, overlap=1).to_pylist()
+    assert len(out2) == 1 and out2[0]["n_chunk_tokens"] == 4
+
+
+def test_chunk_documents_matches_duckdb(sf_dir):
+    import pyarrow.parquet as pq
+
+    from nxsearch_ray.stages.packing import (
+        chunk_documents,
+        chunk_documents_sql,
+    )
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    got = chunk_documents(docs, chunk_tokens=64, overlap=16) \
+        .to_pandas().sort_values(["doc_id", "chunk_no"]) \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(chunk_documents_sql(chunk_tokens=64, overlap=16)
+                       + " ORDER BY doc_id, chunk_no").fetchdf()
+    assert got.shape == want.shape and (got.values == want.values).all()
