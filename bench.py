@@ -119,8 +119,8 @@ def run_benchmarks() -> dict:
     qs = entry.queries()
     for name in ("extract_text", "exact_dedup", "doc_stats",
                  "ngram_jaccard", "line_dedup", "repetition_stats",
-                 "ann_topk", "ann_topk_ivf", "bm25_topk",
-                 "topk_events"):
+                 "pack_sequences", "sessionize", "ann_topk",
+                 "ann_topk_ivf", "bm25_topk", "topk_events"):
         def runq(name=name):
             out = qs[name](SF_DIR)
             if hasattr(out, "materialize"):
