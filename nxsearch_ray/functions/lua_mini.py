@@ -1398,9 +1398,12 @@ def lua_execute(source: str, env: Optional[dict] = None):
     functions as Python callables); multiple returns come back as a
     tuple; no return means None.
     """
-    ast = _Parser(_tokenize(source)).block()
-    if _Parser(_tokenize(source)).toks[-1].kind != "eof":  # pragma: no cover
-        raise LuaError("trailing input")
+    parser = _Parser(_tokenize(source))
+    ast = parser.block()
+    if parser.peek().kind != "eof":
+        t = parser.peek()
+        raise LuaError(f"line {t.line}: trailing input after block "
+                       f"({t.value!r})")
     interp = _Interp(_make_globals(env))
     try:
         interp.exec_block(ast, _Scope())

@@ -39,7 +39,10 @@ def _sessionize_block(block: pa.Table, *, entity_col: str,
     block = block.take(order)
     u = block.column(entity_col).to_numpy()
     t = block.column(ts_col).cast(pa.int64()).to_numpy()
-    cents = pc.round(pc.multiply(block.column("value"), 100.0)) \
+    # half_away_from_zero to match SQL round() (Arrow's default is
+    # banker's rounding: 12.5 -> 12, while DuckDB round() gives 13)
+    cents = pc.round(pc.multiply(block.column("value"), 100.0),
+                     round_mode="half_towards_infinity") \
         .cast(pa.int64()).to_numpy()
 
     brk = np.ones(len(u), dtype=bool)

@@ -74,7 +74,12 @@ class IndexStore:
     def __init__(self, base_dir: str):
         self.base = base_dir
         os.makedirs(os.path.join(base_dir, "data"), exist_ok=True)
-        os.makedirs(os.path.join(base_dir, "filters"), exist_ok=True)
+        self.filters_dir = os.path.join(base_dir, "filters")
+        os.makedirs(self.filters_dir, exist_ok=True)
+        # service-init filter scan (reference nxsearch_svc.lua:24-34):
+        # previously ?store-persisted filters register on restart
+        from nxsearch_ray.functions.plugins import load_filters_from_dir
+        load_filters_from_dir(self.filters_dir)
         # name -> (generation, canonical MaterializedDataset, vocab_ref)
         self._open: dict[str, tuple[int, object, object]] = {}
 
@@ -135,6 +140,15 @@ class IndexStore:
         kw = {}
         if "filters" in p:
             kw["filters"] = tuple(p["filters"])
+        # plumb stored filter files to Ray workers: each worker process
+        # has its own registry, so canonicalize_stage re-registers them
+        # from disk via ensure_plugins (per-nginx-worker init analogue)
+        stored = tuple(
+            os.path.join(self.filters_dir, f)
+            for f in sorted(os.listdir(self.filters_dir))
+            if f.endswith((".py", ".lua")))
+        if stored:
+            kw["plugin_files"] = stored
         return PipelineConfig(**kw)
 
     # -- documents -------------------------------------------------------
@@ -195,15 +209,23 @@ class IndexStore:
         from nxsearch_ray.stages.search import term_search
 
         cfg = self.config(name)
-        paths = []
-        for root, _, files in os.walk(self.parts_dir(name)):
-            paths.extend(os.path.join(root, f) for f in files
-                         if f.endswith(".parquet"))
+        # read the generation BEFORE listing parts and re-check after:
+        # a concurrent add lands its part file before bumping, so an
+        # unchanged generation across the walk means the part listing
+        # is consistent with (or newer than) that generation — never a
+        # stale listing cached under a newer generation
+        for _ in range(16):
+            gen = self.generation(name)
+            paths = []
+            for root, _, files in os.walk(self.parts_dir(name)):
+                paths.extend(os.path.join(root, f) for f in files
+                             if f.endswith(".parquet"))
+            if self.generation(name) == gen:
+                break
         if not paths:
             import pyarrow as pa
             return pa.schema([("doc_id", pa.int64()),
                               ("score", pa.float64())]).empty_table()
-        gen = self.generation(name)
         cached = self._open.get(name)
         if cached is not None and cached[0] == gen:
             _, canonical, vref = cached
@@ -257,10 +279,23 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(400, json.dumps(
             {"error": {"code": code, "msg": msg}}))
 
+    def _valid_name(self, name: str) -> bool:
+        """str_isalnumdu guard on EVERY route that builds a filesystem
+        path from the index name (the reference validates on
+        create/open/destroy, src/core/nxs.c:233,310,386) — without it
+        ``DELETE /..`` resolves to the base dir and rmtree wipes every
+        index."""
+        if _NAME_RE.match(name):
+            return True
+        self._error("invalid index name", ERR_INVALID)
+        return False
+
     # -- routing ---------------------------------------------------------
     def do_POST(self):                            # noqa: N802 (stdlib API)
         url = urlparse(self.path)
-        qs = parse_qs(url.query)
+        # keep_blank_values: the reference's flags are bare (?store,
+        # ?fetch) — parse_qs drops them by default
+        qs = parse_qs(url.query, keep_blank_values=True)
         parts = [p for p in url.path.split("/") if p]
         try:
             if (len(parts) == 3 and parts[0] == "filters"
@@ -269,8 +304,12 @@ class _Handler(BaseHTTPRequestHandler):
             if len(parts) == 1:
                 return self._post_create(parts[0])
             if len(parts) == 3 and parts[1] == "add":
+                if not self._valid_name(parts[0]):
+                    return
                 return self._post_add(parts[0], parts[2], qs)
             if len(parts) == 2 and parts[1] == "search":
+                if not self._valid_name(parts[0]):
+                    return
                 return self._post_search(parts[0], qs)
         except Exception as e:                    # engine errors → 400
             return self._error(str(e), ERR_SYSTEM)
@@ -281,6 +320,8 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if len(parts) == 1:
                 name = parts[0]
+                if not self._valid_name(name):
+                    return
                 if not self.store.exists(name):
                     return self._error(f"index {name!r} does not exist",
                                        ERR_MISSING)
@@ -288,6 +329,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._reply(200)
             if len(parts) == 3 and parts[1] == "remove":
                 name, doc_id = parts[0], parts[2]
+                if not self._valid_name(name):
+                    return
                 if not self.store.exists(name):
                     return self._error(f"index {name!r} does not exist",
                                        ERR_MISSING)
@@ -368,21 +411,26 @@ class _Handler(BaseHTTPRequestHandler):
         if not _FILTER_NAME_RE.match(name):
             return self._error("filter name must be alphanumeric",
                                ERR_INVALID)
+        import tempfile
+
         src = self._body()
-        path = os.path.join(self.store.base, "filters", f"{name}.lua")
-        with open(path, "w") as f:
-            f.write(src)
+        # validate from a temp path first; persist under filters/ ONLY
+        # with ?store (reference nxsearch_svc.lua:246-247 — without the
+        # flag the filter is session-local to this service process)
         from nxsearch_ray.functions.plugins import load_lua_filter
-        try:
-            load_lua_filter(path)
-        except Exception as e:
-            os.remove(path)
-            return self._error(f"lua filter load failed: {e}",
-                               ERR_INVALID)
-        if "store" not in qs:
-            # without ?store the filter is session-only (the reference
-            # keeps it in the worker; persistence needs the flag)
-            pass
+        with tempfile.TemporaryDirectory() as td:
+            tmp = os.path.join(td, f"{name}.lua")
+            with open(tmp, "w") as f:
+                f.write(src)
+            try:
+                load_lua_filter(tmp, name=name)
+            except Exception as e:
+                return self._error(f"lua filter load failed: {e}",
+                                   ERR_INVALID)
+            if "store" in qs:
+                dst = os.path.join(self.store.filters_dir,
+                                   f"{name}.lua")
+                shutil.move(tmp, dst)
         self._reply(201)
 
 

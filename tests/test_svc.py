@@ -155,3 +155,60 @@ def test_svc_index_cache_generations(svc):
     code, body = _req(f"{url}/{idx}/search", "POST", b"red")
     assert json.loads(body)["count"] == 2         # fresh build sees doc 2
     _req(f"{url}/{idx}", "DELETE")
+
+
+def test_svc_traversal_guard(svc):
+    """Every route that builds a filesystem path validates the index
+    name (the reference guards create/open/destroy,
+    src/core/nxs.c:233,310,386).  DELETE /.. must NOT resolve to the
+    base dir and wipe every index."""
+    import os
+    url, srv = svc
+    idx = "travguard"
+    assert _req(f"{url}/{idx}", "POST")[0] == 201
+    assert _req(f"{url}/{idx}/add/1", "POST", b"keep me")[0] == 201
+    # .. and . as index names → 400 on every verb, nothing deleted
+    for name in ("..", ".", "..%2F..", "a.b"):
+        assert _req(f"{url}/{name}", "DELETE")[0] == 400
+        assert _req(f"{url}/{name}/add/1", "POST", b"x")[0] == 400
+        assert _req(f"{url}/{name}/search", "POST", b"x")[0] == 400
+        assert _req(f"{url}/{name}/remove/1", "DELETE")[0] == 400
+    assert os.path.isdir(srv.store.index_dir(idx))     # survived
+    assert os.path.isdir(os.path.join(srv.store.base, "data"))
+    code, body = _req(f"{url}/{idx}/search", "POST", b"keep")
+    assert json.loads(body)["count"] == 1
+    _req(f"{url}/{idx}", "DELETE")
+
+
+def test_svc_lua_store_contract(svc, monkeypatch, tmp_path):
+    """?store persists the Lua filter under filters/ and a fresh
+    IndexStore re-registers it at init; without ?store nothing is
+    written to disk (reference nxsearch_svc.lua:246-247, 24-34)."""
+    import os
+
+    from nxsearch_ray.svc import IndexStore
+    url, srv = svc
+    monkeypatch.setenv("NXS_ENABLE_LUA_POST", "1")
+    lua = b"return { filter = function(ctx, v) return v end }"
+    # session-only: 201 but no file on disk
+    assert _req(f"{url}/filters/ephem/lua", "POST", lua)[0] == 201
+    assert not os.path.exists(
+        os.path.join(srv.store.filters_dir, "ephem.lua"))
+    # ?store: persisted, and a NEW store scans it at init
+    assert _req(f"{url}/filters/kept/lua?store", "POST", lua)[0] == 201
+    assert os.path.exists(
+        os.path.join(srv.store.filters_dir, "kept.lua"))
+    import shutil
+    base2 = tmp_path / "svc2"
+    base2.mkdir()
+    (base2 / "filters").mkdir()
+    shutil.copy(os.path.join(srv.store.filters_dir, "kept.lua"),
+                base2 / "filters" / "kept2.lua")
+    from nxsearch_ray.functions.filters import filter_registered
+    IndexStore(str(base2))
+    assert filter_registered("kept2")
+    # invalid Lua leaves no file even with ?store
+    assert _req(f"{url}/filters/brokenx/lua?store", "POST",
+                b"this is ( not lua")[0] == 400
+    assert not os.path.exists(
+        os.path.join(srv.store.filters_dir, "brokenx.lua"))
