@@ -390,6 +390,108 @@ def q_cluster_sizes(sf_dir: str):
         names=["cluster_id", "size"])
 
 
+def q_dedup_exact_verify(sf_dir: str):
+    """DuckDB-checkable invariant over the flagship clusters output
+    (the two most important tables are otherwise non-SQL-expressible):
+    every md5-identical page group — the planted ``copy`` variants,
+    derivable in SQL from PAGES_CTE — must be co-clustered
+    (``n_clusters`` = 1), and the pipeline's cluster ids are
+    component-minimum page ids (``cluster_is_component_min``).  A
+    clustering regression breaks the value hash.
+
+    Plan: md5 per page in ``map_batches``, ONE key-disjoint exchange
+    on the hash, then a vectorized per-block group scan against the
+    broadcast dup-cluster map (clusters only hold duplicate pages, a
+    tiny fraction of the corpus; a 10^12-doc run would hash-join on
+    page_id instead of broadcasting)."""
+    import hashlib
+
+    import ray
+
+    from nxsearch_ray.pipelines.dedup import clusters_as_table
+    from nxsearch_ray.stages.shuffle import hash_partitioned
+
+    ct = clusters_as_table(_dedup(sf_dir))
+    pid = ct.column("page_id").to_numpy()
+    cid = ct.column("cluster_id").to_numpy()
+    # per-cluster component-min: min(page_id) grouped by cluster_id
+    order = np.argsort(cid, kind="stable")
+    cs, ps = cid[order], pid[order]
+    starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+    comp_min = np.minimum.reduceat(ps, starts) if len(ps) else ps
+    # broadcast: sorted page ids -> cluster ids, plus per-cluster
+    # min==id flags (sorted by cluster id for searchsorted lookup)
+    psort = np.argsort(pid, kind="stable")
+    bcast = ray.put({
+        "pids": pid[psort], "cids": cid[psort],
+        "clusters": cs[starts] if len(ps) else cs,
+        "cluster_min_ok": (comp_min == cs[starts]) if len(ps)
+        else np.zeros(0, dtype=bool),
+    })
+
+    def add_md5(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5((x or "").encode()).hexdigest()
+                for x in t.column("text").to_pylist()]
+        return t.select(["page_id"]).append_column(
+            pa.field("text_md5", pa.string()),
+            pa.array(md5s, type=pa.string()))
+
+    keyed = _pages(sf_dir, include_html=False).map_batches(
+        add_md5, batch_format="pyarrow")
+    keyed = hash_partitioned(keyed, ["text_md5"])
+
+    out_schema = pa.schema([
+        ("text_md5", pa.string()), ("n_pages", pa.int64()),
+        ("n_clusters", pa.int64()),
+        ("cluster_is_component_min", pa.bool_())])
+
+    def verify_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        b = ray.get(bcast)
+        md5s = np.asarray(t.column("text_md5").to_pylist(), dtype=object)
+        pids = t.column("page_id").to_numpy()
+        o = np.argsort(md5s, kind="stable")
+        md5s, pids = md5s[o], pids[o]
+        brk = np.r_[True, md5s[1:] != md5s[:-1]]
+        gstart = np.flatnonzero(brk)
+        gsize = np.diff(np.r_[gstart, len(md5s)])
+        dup = gsize >= 2
+        if not dup.any():
+            return out_schema.empty_table()
+        # cluster id per page: searchsorted into the broadcast map;
+        # unclustered pages get a unique negative sentinel so any
+        # missing member makes n_clusters > 1 (a failure)
+        if len(b["pids"]):
+            j = np.clip(np.searchsorted(b["pids"], pids), 0,
+                        len(b["pids"]) - 1)
+            hit = b["pids"][j] == pids
+            cl = np.where(hit, b["cids"][j], -pids - 1)
+        else:
+            hit = np.zeros(len(pids), dtype=bool)
+            cl = -pids - 1
+        mok = np.zeros(len(pids), dtype=bool)
+        if len(b["clusters"]):
+            jc = np.clip(np.searchsorted(b["clusters"], cl), 0,
+                         len(b["clusters"]) - 1)
+            mok = hit & (b["clusters"][jc] == cl) & b["cluster_min_ok"][jc]
+        rows_md5, n_pages, n_clusters, min_ok = [], [], [], []
+        for s, n in zip(gstart[dup], gsize[dup]):
+            seg = cl[s:s + n]
+            rows_md5.append(md5s[s])
+            n_pages.append(int(n))
+            n_clusters.append(len(np.unique(seg)))
+            min_ok.append(bool(mok[s:s + n].all()))
+        return pa.table({
+            "text_md5": pa.array(rows_md5, type=pa.string()),
+            "n_pages": pa.array(n_pages, type=pa.int64()),
+            "n_clusters": pa.array(n_clusters, type=pa.int64()),
+            "cluster_is_component_min": pa.array(min_ok,
+                                                 type=pa.bool_())})
+
+    return keyed.map_batches(verify_block, batch_format="pyarrow")
+
+
 def q_signatures(sf_dir: str):
     from nxsearch_ray.stages.canonicalize import canonicalize_stage
     from nxsearch_ray.stages.html_extract import extract_stage
@@ -399,6 +501,108 @@ def q_signatures(sf_dir: str):
     sigs = signature_stage(canon, _CFG)
     return sigs.select_columns(
         ["page_id", "simhash", "num_shingles", "seq_hash"])
+
+
+def q_signatures_plain(sf_dir: str):
+    """Signature stage with ``filters=()`` over documents — the
+    SQL-mirrorable slice: ``num_shingles`` is the per-doc count of
+    DISTINCT k-token shingles (k = cfg.shingle_k = 5; docs shorter
+    than k tokens get exactly one whole-sequence shingle, empty docs
+    zero — functions/hashing.shingle_hashes), reproduced in DuckDB
+    with the same RE2-safe token regex used by canonicalize_plain."""
+    from nxsearch_ray.stages.signatures import signature_stage
+
+    sigs = signature_stage(_canonical_docs(sf_dir), _SEARCH_CFG,
+                           keep_columns=("doc_id",))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "num_shingles": t.column("num_shingles").cast(pa.int64())})
+
+    return sigs.map_batches(project, batch_format="pyarrow")
+
+
+def _topk_overlap_table(sf_dir: str, approx_ds) -> pa.Table:
+    """Per-qid overlap counts |approx ∩ brute| as a sorted Arrow
+    table (qid, n_common, k, recall) — both sides engine-computed."""
+    def collect(ds) -> dict[int, set]:
+        cur: dict[int, set] = {}
+        for b in ds.iter_batches(batch_format="pyarrow",
+                                 batch_size=1 << 16):
+            for q, v in zip(b.column("qid").to_pylist(),
+                            b.column("vec_id").to_pylist()):
+                cur.setdefault(q, set()).add(v)
+        return cur
+
+    bsets = collect(q_ann_topk(sf_dir))
+    asets = collect(approx_ds)
+    qids = sorted(bsets)
+    n_common = [len(bsets[q] & asets.get(q, set())) for q in qids]
+    return pa.table({
+        "qid": pa.array(qids, type=pa.int64()),
+        "n_common": pa.array(n_common, type=pa.int64()),
+        "k": pa.array([_ANN_K] * len(qids), type=pa.int64()),
+        "recall": pa.array([c / _ANN_K for c in n_common],
+                           type=pa.float64())})
+
+
+def q_ann_lsh_recall(sf_dir: str):
+    """LSH losslessness gate, hash-green: with nbits=1 the probe set
+    (exact bucket + the single bit flip) covers every bucket, so the
+    sign/bucket-routing/candidate-union/rerank machinery must
+    reproduce exact brute-force top-k — recall is 1.0 by construction
+    and ANY loss in the machinery breaks the value hash.  Measured
+    recall at production (non-exhaustive) params is reported by
+    ``ann_recall_report`` and gated in pytest."""
+    import ray
+    import ray.data
+
+    from nxsearch_ray.stages.ann import lsh_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qref = ray.put(_query_vectors(sf_dir))
+    approx = lsh_topk(ds, qref, _ANN_K, nbits=1, nprobes=1)
+    return _topk_overlap_table(sf_dir, approx)
+
+
+def q_ann_ivf_recall(sf_dir: str):
+    """IVF partition-losslessness gate, hash-green: nprobe = nlist
+    scans every inverted list, so quantizer assignment + list routing
+    + rerank must reproduce exact brute-force top-k (recall 1.0 by
+    construction; the FAISS-style sanity check).  Production-nprobe
+    recall is reported by ``ann_recall_report`` / pytest."""
+    import ray
+    import ray.data
+
+    from nxsearch_ray.stages.ann import ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qref = ray.put(_query_vectors(sf_dir))
+    approx = ivf_topk(ds, qref, _ANN_K, nlist=16, nprobe=16)
+    return _topk_overlap_table(sf_dir, approx)
+
+
+def q_ann_recall_report(sf_dir: str):
+    """Measured recall at PRODUCTION params (the honest
+    non-exhaustive numbers), one row per method — deterministic
+    engine-computed scalars the driver records (rows-only; the
+    methods' approximate output is inherently non-SQL-expressible)."""
+    rows = []
+    for method, fn in (("lsh", q_ann_topk_lsh), ("ivf", q_ann_topk_ivf)):
+        t = _topk_overlap_table(sf_dir, fn(sf_dir))
+        total = sum(t.column("n_common").to_pylist())
+        nq = t.num_rows
+        rows.append((method, nq, _ANN_K, total,
+                     total / (nq * _ANN_K) if nq else 0.0))
+    return pa.table({
+        "method": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_queries": pa.array([r[1] for r in rows], type=pa.int64()),
+        "k": pa.array([r[2] for r in rows], type=pa.int64()),
+        "total_common": pa.array([r[3] for r in rows], type=pa.int64()),
+        "recall": pa.array([r[4] for r in rows], type=pa.float64())})
 
 
 def q_canonicalize(sf_dir: str):
@@ -720,8 +924,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "dedup_clusters": q_dedup_clusters,
         "dedup_pairs": q_dedup_pairs,
+        "dedup_exact_verify": q_dedup_exact_verify,
         "cluster_sizes": q_cluster_sizes,
         "signatures": q_signatures,
+        "signatures_plain": q_signatures_plain,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_recall_report": q_ann_recall_report,
         "canonicalize": q_canonicalize,
         "canonicalize_plain": q_canonicalize_plain,
         "langid": q_langid,
@@ -775,6 +984,47 @@ WITH {PAGES_CTE}
 SELECT md5(text) AS text_md5, count(*) AS n_dups,
        min(page_id) AS canonical_page_id
 FROM pages GROUP BY md5(text) HAVING count(*) >= 2
+""",
+        # invariant oracle for the flagship clusters output: every
+        # md5-identical page group must land in exactly one cluster
+        # whose id is the component-min page id — the SQL side
+        # predicts the invariant (n_clusters=1, flag=true); the Ray
+        # side measures it against the actual clustering
+        "dedup_exact_verify": f"""
+WITH {PAGES_CTE}
+SELECT md5(text) AS text_md5, count(*) AS n_pages,
+       CAST(1 AS BIGINT) AS n_clusters,
+       TRUE AS cluster_is_component_min
+FROM pages GROUP BY md5(text) HAVING count(*) >= 2
+""",
+        "signatures_plain": f"""
+WITH tok AS (SELECT doc_id,
+                    regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS ts
+             FROM documents)
+SELECT doc_id,
+       CASE WHEN len(ts) = 0 THEN 0
+            WHEN len(ts) < 5 THEN 1
+            ELSE len(list_distinct(list_transform(
+                   generate_series(1, len(ts) - 4),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        || ' ' || ts[i+3] || ' ' || ts[i+4])))
+       END::BIGINT AS num_shingles
+FROM tok
+""",
+        # losslessness gates: exhaustive-probe LSH/IVF must reproduce
+        # exact brute-force top-k, so recall is 1.0 by construction —
+        # any loss in bucket routing / candidate union / rerank breaks
+        # the hash.  (Production-params measured recall is the
+        # rows-only ann_recall_report + pytest gates.)
+        "ann_lsh_recall": f"""
+SELECT vec_id AS qid, CAST({_ANN_K} AS BIGINT) AS n_common,
+       CAST({_ANN_K} AS BIGINT) AS k, 1.0 AS recall
+FROM embeddings WHERE vec_id < {_ANN_NQ} ORDER BY vec_id
+""",
+        "ann_ivf_recall": f"""
+SELECT vec_id AS qid, CAST({_ANN_K} AS BIGINT) AS n_common,
+       CAST({_ANN_K} AS BIGINT) AS k, 1.0 AS recall
+FROM embeddings WHERE vec_id < {_ANN_NQ} ORDER BY vec_id
 """,
         "doc_stats": f"SELECT doc_id, {stats_select} FROM documents",
         "repetition_stats": repetition_stats_sql(),

@@ -39,6 +39,8 @@ def test_expected_query_inventory():
         "image_features", "audio_features", "video_frames",
         "embedding_dups", "embedding_dups_lsh",
         "query_probe", "bucket_census",
+        "dedup_exact_verify", "signatures_plain",
+        "ann_lsh_recall", "ann_ivf_recall", "ann_recall_report",
     }
     missing = expected - q
     assert not missing, f"queries() lost entries: {missing}"
@@ -54,3 +56,27 @@ def test_entry_smoke(ray_session):
     else:                               # pandas.DataFrame
         n = len(out)
     assert n >= 0
+
+
+def test_dedup_exact_verify_invariants(ray_session):
+    """The flagship-output oracle: every md5-identical page group is
+    co-clustered and cluster ids are component minima (sf0.001)."""
+    t = entry_mod.q_dedup_exact_verify("/root/testdata/sf0.001")
+    import pyarrow as pa
+    if not isinstance(t, pa.Table):
+        t = pa.concat_tables(
+            b for b in t.iter_batches(batch_format="pyarrow",
+                                      batch_size=1 << 20))
+    assert t.num_rows > 0
+    assert set(t.column("n_clusters").to_pylist()) == {1}
+    assert set(t.column("cluster_is_component_min").to_pylist()) \
+        == {True}
+
+
+def test_ann_exhaustive_probe_losslessness(ray_session):
+    """Exhaustive-probe LSH (nbits=1) and IVF (nprobe=nlist) must
+    reproduce exact brute-force top-k — recall 1.0 per query."""
+    for fn in (entry_mod.q_ann_lsh_recall, entry_mod.q_ann_ivf_recall):
+        t = fn("/root/testdata/sf0.001")
+        assert t.column("n_common").to_pylist() \
+            == t.column("k").to_pylist()
