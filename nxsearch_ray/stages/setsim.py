@@ -27,25 +27,34 @@ instead of per-group Python:
      by 1 + min(pa, pb) + min(|A|-pa-1, |B|-pb-1), which must reach
      the required overlap α = ⌈t/(1+t)·(|A|+|B|)⌉; duplicates across
      grams are folded during the adjacency build.
-  4. **exact count pass** — build a CSR adjacency of the candidate
-     pairs in ONE remote task (broadcast via object store), rescan the
-     (still materialized) gram partitions: for each gram run, count
-     each candidate edge whose BOTH endpoints are present, and emit
+  4. **exact count pass** — the candidate set is SHARDED by the
+     ``a`` endpoint (splitmix64(a) % S; a pair's shard is a function
+     of ``a`` alone, so per-shard dedup is global dedup).  S is sized
+     from the materialized candidate count so one shard's CSR
+     adjacency fits a task's heap budget; each shard task streams the
+     candidate blocks one ``ray.get`` at a time (refs passed inside a
+     list are not pre-fetched), filters to its shard, and broadcasts
+     its CSR.  The (still materialized) gram partitions are then
+     rescanned once per shard: for each gram run, count each
+     shard-candidate edge whose BOTH endpoints are present, and emit
      per-block PARTIAL (a, b, cnt) rows.  This is the exact |A ∩ B| —
      gram runs are disjoint across partitions, so partial counts sum.
-  5. **finish** — one remote task sums the partials (bounded by the
-     candidate-pair count, the same broadcast budget the adjacency
-     already commits to), computes jaccard = c / (|A| + |B| - c) and
-     filters ≥ t.  No final exchange.
+     The rescans cost S passes over the materialized gram blocks
+     (parallel within each pass); at the default budget S stays 1
+     until the candidate set passes ~20M pairs.
+  5. **finish** — one remote task PER SHARD sums that shard's
+     partials (streamed the same way, bounded by the shard's
+     candidate count), computes jaccard = c / (|A| + |B| - c) and
+     filters ≥ t.  The output dataset is the union of the per-shard
+     tables.  No final exchange.
 
 Exact — byte-equal to the DuckDB oracle (`__ray_entry__.oracle_sql`)
 — and every per-row loop is numpy over run boundaries.
 
-Partitioning assumptions, stated: (a) a gram partition block is not
+Partitioning assumption, stated: a gram partition block is not
 split mid-run (blocks stay under the target block size — raise
-``num_partitions`` with corpus size); (b) the deduplicated candidate
-set fits one task's heap (it is prefix+positional filtered; shard the
-adjacency by a-range if a corpus ever breaks this).
+``num_partitions`` with corpus size).  No task holds the full
+candidate set: adjacency build, count and finish are all per-shard.
 
 N-grams are built over raw whitespace words (NOT canonical tokens) so
 the SQL oracle can reproduce the result verbatim.
@@ -227,37 +236,74 @@ def _cand_pairs(threshold: float):
     return fn
 
 
-def build_pair_adjacency_ref(cand_ds):
-    """CSR adjacency + per-doc set sizes of the candidate pairs, built
-    in one remote task and broadcast by ObjectRef.
+#: default per-shard candidate budget: ~20M pairs ≈ 1.1 GiB of CSR
+#: state (5 × 8-byte arrays + rank tables) — comfortably inside one
+#: worker's heap while keeping S = 1 for every sub-web-scale corpus
+SHARD_BUDGET_PAIRS = 20_000_000
 
-    All internal keys are DENSE RANKS over the candidate-endpoint id
+
+def _shard_of(a: np.ndarray, num_shards: int) -> np.ndarray:
+    """Shard id per candidate pair — a function of the ``a`` endpoint
+    alone (splitmix64 for balance), so all duplicates of a pair land
+    in one shard and per-shard dedup is global dedup."""
+    from nxsearch_ray.functions.hashing import splitmix64
+
+    return (splitmix64(a.astype(np.uint64))
+            % np.uint64(num_shards)).astype(np.int64)
+
+
+def build_pair_adjacency_refs(cand_ds, *, num_shards: int | None = None,
+                              shard_budget: int = SHARD_BUDGET_PAIRS):
+    """Per-shard CSR adjacency + per-doc set sizes of the candidate
+    pairs: the candidate set is sharded by its ``a`` endpoint so no
+    task ever holds more than ~1/S of the pairs.  Returns a list of S
+    ObjectRefs (S auto-sized from the materialized candidate count
+    unless forced).
+
+    All internal keys are DENSE RANKS over the shard's endpoint id
     universe (``ids``), not global doc ids: ranks are bounded by the
-    candidate count (already bounded by the broadcast budget), so the
-    packed (hi<<32)|lo keys downstream stay valid for arbitrary-width
-    global ids — a 10^12-doc corpus has page_ids well past 2^32."""
+    shard's candidate count, so the packed (hi<<32)|lo keys downstream
+    stay valid for arbitrary-width global ids — a 10^12-doc corpus has
+    page_ids well past 2^32."""
     import ray
 
-    refs = cand_ds.to_arrow_refs()
+    cand = cand_ds.materialize()
+    if num_shards is None:
+        num_shards = max(1, -(-cand.count() // shard_budget))
+    refs = list(cand.to_arrow_refs())
 
+    # refs passed INSIDE a list are not pre-fetched by Ray: the task
+    # streams blocks one ray.get at a time, so its peak heap is one
+    # block plus its own shard's pairs — never the full candidate set
     @ray.remote
-    def _build(*blocks):
-        # drop schema-less empty blocks (Ray emits them for empty
-        # UDF outputs) before the concat
-        blocks = [b for b in blocks if b.num_columns > 0]
-        if not blocks:
+    def _build(shard: int, nshards: int, block_refs: list):
+        parts = []
+        for r in block_refs:
+            blk = ray.get(r)
+            # drop schema-less empty blocks (Ray emits them for empty
+            # UDF outputs)
+            if blk.num_columns == 0 or blk.num_rows == 0:
+                continue
+            if nshards > 1:
+                mine = _shard_of(blk.column("a").to_numpy(),
+                                 nshards) == shard
+                blk = blk.filter(pa.array(mine))
+            if blk.num_rows:
+                parts.append(blk)
+            del blk
+        if not parts:
             tbl = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                              ("size_a", pa.int64()),
                              ("size_b", pa.int64())]).empty_table()
         else:
-            tbl = pa.concat_tables(blocks)
+            tbl = pa.concat_tables(parts)
         a = tbl.column("a").to_numpy()
         b = tbl.column("b").to_numpy()
         sa = tbl.column("size_a").to_numpy()
         sb = tbl.column("size_b").to_numpy()
         order = np.lexsort((b, a))
         a, b, sa, sb = a[order], b[order], sa[order], sb[order]
-        # global dedup here (sees every candidate) — one fewer exchange
+        # global dedup (a pair's every duplicate shares this shard)
         if len(a):
             first = np.concatenate(
                 ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
@@ -279,7 +325,8 @@ def build_pair_adjacency_ref(cand_ds):
                 "nodes": nodes_r, "offsets": offsets, "partners": b_r,
                 "pair_keys": pair_keys}
 
-    return _build.remote(*refs)
+    return [_build.remote(s, num_shards, refs)
+            for s in range(num_shards)]
 
 
 def _count_cooccurrence(adj_ref):
@@ -412,11 +459,13 @@ def _count_cooccurrence(adj_ref):
 
 def ngram_jaccard_pairs(docs_ds, *, n: int = 3, threshold: float = 0.5,
                         id_col: str = "page_id", text_col: str = "text",
-                        num_partitions: int | None = None):
+                        num_partitions: int | None = None,
+                        num_shards: int | None = None):
     """Dataset of (a, b, n_common, size_a, size_b, jaccard) for all doc
     pairs with word-n-gram Jaccard ≥ threshold.  Exact (prefix+
     positional-filter candidates + exact intersection recount); see
-    module docstring."""
+    module docstring.  ``num_shards`` forces the candidate shard count
+    (default: auto-sized so one shard fits a task's heap budget)."""
     import ray
     import ray.data
 
@@ -432,12 +481,10 @@ def ngram_jaccard_pairs(docs_ds, *, n: int = 3, threshold: float = 0.5,
     cand = hash_partitioned(prefix, ["bucket_key"], num_partitions) \
         .map_batches(_cand_pairs(threshold), batch_format="pyarrow",
                      batch_size=None)
-    # no dedup exchange: the adjacency builder sees every candidate
-    # block and dedups globally in one pass
-    adj_ref = build_pair_adjacency_ref(cand)
-    partial_refs = gparts.map_batches(
-        _count_cooccurrence(adj_ref), batch_format="pyarrow",
-        batch_size=None).to_arrow_refs()
+    # no dedup exchange: each shard's adjacency builder streams every
+    # candidate block, filters to its shard (a function of ``a``
+    # alone) and dedups its shard globally in one pass
+    adj_refs = build_pair_adjacency_refs(cand, num_shards=num_shards)
 
     out_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("n_common", pa.int64()),
@@ -445,13 +492,17 @@ def ngram_jaccard_pairs(docs_ds, *, n: int = 3, threshold: float = 0.5,
          ("jaccard", pa.float64())])
 
     @ray.remote
-    def _finish(adj, thr, *blocks):
-        blocks = [b for b in blocks if b.num_columns > 0]
-        if not blocks:
+    def _finish(adj, thr, block_refs: list):
+        # stream the shard's partial blocks one ray.get at a time
+        parts = []
+        for r in block_refs:
+            blk = ray.get(r)
+            if blk.num_columns > 0 and blk.num_rows > 0:
+                parts.append(blk)
+            del blk
+        if not parts:
             return out_schema.empty_table()
-        t = pa.concat_tables(blocks)
-        if t.num_rows == 0:
-            return out_schema.empty_table()
+        t = pa.concat_tables(parts)
         a = t.column("a").to_numpy()
         b = t.column("b").to_numpy()
         cnt = t.column("cnt").to_numpy()
@@ -478,5 +529,13 @@ def ngram_jaccard_pairs(docs_ds, *, n: int = 3, threshold: float = 0.5,
              pa.array(jac[keep], type=pa.float64())],
             schema=out_schema)
 
-    return ray.data.from_arrow_refs(
-        [_finish.remote(adj_ref, threshold, *partial_refs)])
+    # one count pass + one finish task per shard; the gram partitions
+    # are materialized, so each pass is a parallel block scan
+    finish_refs = []
+    for adj_ref in adj_refs:
+        partial_refs = list(gparts.map_batches(
+            _count_cooccurrence(adj_ref), batch_format="pyarrow",
+            batch_size=None).to_arrow_refs())
+        finish_refs.append(
+            _finish.remote(adj_ref, threshold, partial_refs))
+    return ray.data.from_arrow_refs(finish_refs)

@@ -775,3 +775,40 @@ def test_bucket_census(ray_session):
     exact_total = sum(r["bucket_size"] * r["n_buckets"]
                       for r in rows if r["source"] == "exact")
     assert exact_total == tbl.num_rows
+
+
+def test_ngram_jaccard_sharded_plan_equivalence(ray_session):
+    """Forcing >=4 candidate shards (the a-endpoint sharding that
+    bounds every adjacency/count/finish task to ~1/S of the candidate
+    set) must give byte-identical results to the single-shard plan,
+    over a corpus with real duplicate structure."""
+    import ray.data as rd
+
+    from nxsearch_ray.stages.setsim import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(60):
+        base = " ".join(rng.choice(words, size=12))
+        texts.append(base)
+        if i % 3 == 0:                      # planted near-dups
+            texts.append(base + " extra")
+    t = pa.table({"page_id": list(range(len(texts))), "text": texts})
+
+    def run(num_shards):
+        out = ngram_jaccard_pairs(rd.from_arrow(t), n=3, threshold=0.4,
+                                  num_shards=num_shards)
+        tb = pa.concat_tables(
+            b for b in out.iter_batches(batch_size=1 << 20,
+                                        batch_format="pyarrow")
+            if b.num_columns > 0)
+        order = np.lexsort((tb.column("b").to_numpy(),
+                            tb.column("a").to_numpy()))
+        return tb.take(pa.array(order, type=pa.int64()))
+
+    one = run(1)
+    four = run(4)
+    assert one.num_rows > 0          # the corpus must exercise pairs
+    assert four.equals(one)
+
