@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from nxsearch_ray.config import PipelineConfig
+from nxsearch_ray.sources.io import read_parquet_clean as _read_parquet
 
 from ray.data import aggregate as _RAY_AGG
 
@@ -133,7 +134,7 @@ def q_doc_stats(sf_dir: str):
 
     from nxsearch_ray.stages.textstats import doc_stats
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ds.map_batches(doc_stats, batch_format="pyarrow") \
         .drop_columns(["text"])
@@ -146,7 +147,7 @@ def q_repetition_stats(sf_dir: str):
 
     from nxsearch_ray.stages.textstats import repetition_stats
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ds.map_batches(repetition_stats, batch_format="pyarrow")
 
@@ -167,7 +168,7 @@ def q_pack_sequences(sf_dir: str):
 
     from nxsearch_ray.stages.packing import pack_sequences
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return pack_sequences(ds, budget=512)
 
@@ -179,7 +180,7 @@ def q_token_quantiles(sf_dir: str):
 
     from nxsearch_ray.stages.packing import count_tokens, exact_quantiles
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     counted = ds.map_batches(count_tokens, batch_format="pyarrow")
     return exact_quantiles(counted, "n_tokens")
@@ -192,7 +193,7 @@ def q_value_quantiles(sf_dir: str):
 
     from nxsearch_ray.stages.packing import exact_quantiles_sorted
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_parquet(f"{sf_dir}/events.parquet",
                                columns=["value"])
     return exact_quantiles_sorted(ds, "value")
 
@@ -231,7 +232,7 @@ def q_sessionize(sf_dir: str):
 
     from nxsearch_ray.stages.sessionize import sessionize
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts", "event_id",
                                         "value"])
     return sessionize(ds, gap_s=1800)
@@ -244,7 +245,7 @@ def q_stratified_sample(sf_dir: str):
 
     from nxsearch_ray.stages.sampling import stratified_sample
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang"])
     return stratified_sample(ds, group_col="lang", id_col="doc_id",
                              k=10, seed=7)
@@ -257,7 +258,7 @@ def q_chunk_documents(sf_dir: str):
 
     from nxsearch_ray.stages.packing import chunk_documents
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ds.map_batches(
         lambda b: chunk_documents(b, chunk_tokens=64, overlap=16),
@@ -267,7 +268,7 @@ def q_chunk_documents(sf_dir: str):
 def q_lang_counts(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["lang"])
     out = ds.groupby("lang").count()
     return out.map_batches(
@@ -287,7 +288,7 @@ def q_fingerprint(sf_dir: str):
 
     from nxsearch_ray.stages.textstats import fingerprint
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ds.map_batches(fingerprint, batch_format="pyarrow") \
         .select_columns(["doc_id", "md5"])
@@ -325,7 +326,7 @@ def q_ann_topk(sf_dir: str):
 
     from nxsearch_ray.stages.ann import brute_force_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     qref = ray.put(_query_vectors(sf_dir))
     out = brute_force_topk(ds, qref, _ANN_K)
@@ -338,7 +339,7 @@ def q_ann_topk_lsh(sf_dir: str):
 
     from nxsearch_ray.stages.ann import lsh_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     qref = ray.put(_query_vectors(sf_dir))
     # nbits=4 + all-single-bit multiprobe: recall 0.9 vs brute force at
@@ -355,7 +356,7 @@ def q_ann_topk_ivf(sf_dir: str):
 
     from nxsearch_ray.stages.ann import ivf_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     qref = ray.put(_query_vectors(sf_dir))
     # nlist=16/nprobe=8: scan ~half the lists.  The sandbox embeddings
@@ -560,7 +561,7 @@ def q_ann_lsh_recall(sf_dir: str):
 
     from nxsearch_ray.stages.ann import lsh_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     qref = ray.put(_query_vectors(sf_dir))
     approx = lsh_topk(ds, qref, _ANN_K, nbits=1, nprobes=1)
@@ -578,7 +579,7 @@ def q_ann_ivf_recall(sf_dir: str):
 
     from nxsearch_ray.stages.ann import ivf_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     qref = ray.put(_query_vectors(sf_dir))
     approx = ivf_topk(ds, qref, _ANN_K, nlist=16, nprobe=16)
@@ -632,7 +633,7 @@ def q_langid(sf_dir: str):
 
     from nxsearch_ray.stages.textstats import LangIdActor
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ds.map_batches(LangIdActor, batch_format="pyarrow",
                           concurrency=(1, 4)).drop_columns(["text"])
@@ -701,7 +702,7 @@ def q_embedding_dups(sf_dir: str):
 
     from nxsearch_ray.stages.ann import embedding_dup_pairs_blocked
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return embedding_dup_pairs_blocked(ds, threshold=_EMB_DUP_THR,
                                        block_rows=1024)
@@ -753,7 +754,7 @@ def _canonical_docs(sf_dir: str):
     from nxsearch_ray.stages.canonicalize import canonicalize_stage
 
     if sf_dir not in _CANON_DOCS_CACHE:
-        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+        ds = _read_parquet(f"{sf_dir}/documents.parquet",
                                    columns=["doc_id", "text", "lang"])
         _CANON_DOCS_CACHE[sf_dir] = canonicalize_stage(
             ds, _SEARCH_CFG).materialize()
@@ -794,7 +795,7 @@ def q_topk_events(sf_dir: str):
 
     from nxsearch_ray.stages.topk import topk_per_group
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "event_type",
                                         "value"])
     return topk_per_group(ds, group_col="event_type",
@@ -817,7 +818,7 @@ def q_fuzzy_lookup(sf_dir: str):
         vocabulary,
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
     canonical = canonicalize_stage(ds, _SEARCH_CFG,
                                    include_tokens=True).materialize()
@@ -833,7 +834,7 @@ def q_embedding_dups_lsh(sf_dir: str):
 
     from nxsearch_ray.stages.ann import embedding_dup_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     # nbits=8 × 8 tables × 3 margin-guided probes: measured recall 1.0
     # vs the exact plan at sf0.01 (14/14 pairs); gated in

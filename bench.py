@@ -54,7 +54,27 @@ def run_benchmarks() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Every UDF in this repo emits schema-carrying (possibly empty)
+    # tables, but Ray 2.49's hash-shuffle operator materializes EMPTY
+    # exchange partitions as RefBundle(schema=None) (ray/data/_internal/
+    # execution/operators/hash_shuffle.py:616) and zero-row bundles
+    # BYPASS downstream map UDFs entirely, so the executor's cosmetic
+    # "RefBundle with a different schema" warning is unfixable from
+    # user code when a keyed exchange has fewer keys than partitions
+    # (e.g. top-k over 5 event types).  Drop exactly that message.
+    import logging
+
+    class _DropSchemalessEmptyBundleWarning(logging.Filter):
+        def filter(self, rec: logging.LogRecord) -> bool:
+            return ("RefBundle with a different schema"
+                    not in rec.getMessage())
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropSchemalessEmptyBundleWarning())
+
     import ray.data as rd
+    from nxsearch_ray.sources.io import read_parquet_clean
 
     from nxsearch_ray.config import PipelineConfig
     from nxsearch_ray.pipelines.dedup import clusters_as_table, run_dedup
@@ -72,16 +92,25 @@ def run_benchmarks() -> dict:
             while f.read(1 << 22):
                 pass
 
+    stage_walls: dict[str, dict] = {}
+
+    def _walls(res) -> dict:
+        """Per-stage walls + plan choices from run_dedup's stats."""
+        return {k: v for k, v in res.stats.items()
+                if k.startswith("wall_") or k.endswith("_plan")}
+
     def flagship():
-        ds = rd.read_parquet(
+        ds = read_parquet_clean(
             corpus, columns=["page_id", "url", "warc_ts", "html", "lang"])
-        return clusters_as_table(run_dedup(ds, cfg))
+        res = run_dedup(ds, cfg)
+        stage_walls["dedup_synth"] = _walls(res)
+        return clusters_as_table(res)
 
     # warm-up: Ray worker processes import numpy/pyarrow lazily on
     # first task — a small full-pipeline pass spawns and warms the
     # worker pool so the timed run measures steady-state throughput
     warm = synth_parquet(5000, seed=SYNTH_SEED + 1, sf_dir=SF_DIR)
-    run_dedup(rd.read_parquet(
+    run_dedup(read_parquet_clean(
         warm, columns=["page_id", "url", "warc_ts", "html", "lang"]),
         cfg)
 
@@ -98,7 +127,7 @@ def run_benchmarks() -> dict:
     # (bucketed pair-payload join verify + label-propagation CC) so the
     # scale path's own wall time is on record, not just the auto plan's
     def flagship_scalepath():
-        ds = rd.read_parquet(
+        ds = read_parquet_clean(
             corpus, columns=["page_id", "url", "warc_ts", "html", "lang"])
         return clusters_as_table(run_dedup(
             ds, cfg, verify_mode="bucketed", cc_mode="labelprop"))
@@ -108,7 +137,9 @@ def run_benchmarks() -> dict:
 
     # ---- flagship over the sf tables' derived pages
     def dedup_sf():
-        return clusters_as_table(run_dedup(pages_dataset(SF_DIR), cfg))
+        res = run_dedup(pages_dataset(SF_DIR), cfg)
+        stage_walls["dedup_sf_pages"] = _walls(res)
+        return clusters_as_table(res)
 
     sec2, _ = _timed(dedup_sf)
     queries["dedup_sf_pages"] = round(sec2, 3)
@@ -137,6 +168,7 @@ def run_benchmarks() -> dict:
         "value": queries["dedup_synth"],
         "unit": "sec",
         "queries": queries,
+        "stage_walls": stage_walls,
         "docs_per_sec": round(docs_per_sec, 1),
         "n_pages": n_pages,
         "sf": SF_DIR,
@@ -194,7 +226,7 @@ def run_scaling_worker(ncpu: int, reps: int = 2) -> None:
     corpus = synth_parquet(scaling_n, seed=SYNTH_SEED, sf_dir=SF_DIR)
     cols = ["page_id", "url", "warc_ts", "html", "lang"]
     warm = synth_parquet(3000, seed=SYNTH_SEED + 1, sf_dir=SF_DIR)
-    run_dedup(rd.read_parquet(warm, columns=cols), cfg)
+    run_dedup(read_parquet_clean(warm, columns=cols), cfg)
 
     import pyarrow.parquet as pq
 
@@ -206,7 +238,7 @@ def run_scaling_worker(ncpu: int, reps: int = 2) -> None:
     for _ in range(reps):
         t0 = time.monotonic()
         res = run_dedup(
-            rd.read_parquet(corpus, columns=cols,
+            read_parquet_clean(corpus, columns=cols,
                             override_num_blocks=4 * ncpu), cfg)
         rows = clusters_as_table(res).num_rows
         walls.append(round(time.monotonic() - t0, 3))

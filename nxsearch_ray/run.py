@@ -50,8 +50,9 @@ def _load_pages(input_dir: str, cfg):
     if "html" not in present and "text" not in present:
         raise SystemExit("input needs an `html` or `text` column")
     # prune at the read: only the needed columns leave storage
-    ds = rd.read_parquet(input_dir, columns=present,
-                         file_extensions=["parquet"])
+    from nxsearch_ray.sources.io import read_parquet_clean
+    ds = read_parquet_clean(input_dir, columns=present,
+                            file_extensions=["parquet"])
     if "page_id" not in present:
         # full-string md5 prefix, like pages_from_text_files — NOT
         # hash_strings, whose TOKEN_HASH_WIDTH prefix cap is tuned for

@@ -117,7 +117,9 @@ def pages_dataset(sf_dir: str, *, include_html: bool = True):
     """
     import ray.data
 
-    ds = ray.data.read_parquet(
+    from nxsearch_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"])
     ds = ds.map_batches(pages_from_documents, batch_format="pyarrow")

@@ -25,10 +25,15 @@ DEFAULT_LIMIT = 1000   # reference src/core/nxs_impl.h:39
 
 
 def _block_topk(group_col: str, order_col: str, tie_col: str,
-                k: int, descending: bool):
+                k: int, descending: bool, schema: pa.Schema | None = None):
     def fn(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
+            # hash-exchange partitions with zero rows arrive as
+            # schema-LESS blocks; emit the pass-through schema so the
+            # executor never sees a schema-less RefBundle
+            if t.num_columns == 0 and schema is not None:
+                return schema.empty_table()
             return t
         gcol = t.column(group_col)
         if pa.types.is_string(gcol.type) or \
@@ -66,10 +71,18 @@ def topk_per_group(ds, *, group_col: str, order_col: str,
     default), ties by ascending ``tie_col``; all columns pass through."""
     from nxsearch_ray.stages.shuffle import hash_partitioned
 
+    # pass-through schema for empty exchange partitions (known without
+    # execution for read→select lineages; None is a harmless fallback)
+    try:
+        s = ds.schema(fetch_if_missing=False)
+        schema = getattr(s, "base_schema", None)
+    except Exception:
+        schema = None
     partial = ds.map_batches(
         _block_topk(group_col, order_col, tie_col, k, descending),
         batch_format="pyarrow")
     parts = hash_partitioned(partial, [group_col], num_partitions)
     return parts.map_batches(
-        _block_topk(group_col, order_col, tie_col, k, descending),
+        _block_topk(group_col, order_col, tie_col, k, descending,
+                    schema),
         batch_format="pyarrow", batch_size=None)

@@ -53,7 +53,9 @@ def is_complete(out_dir: str, stage: str, cfg: PipelineConfig) -> bool:
 def load_stage(out_dir: str, stage: str):
     import ray.data
 
-    return ray.data.read_parquet(stage_dir(out_dir, stage),
+    from nxsearch_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(stage_dir(out_dir, stage),
                                  file_extensions=["parquet"])
 
 

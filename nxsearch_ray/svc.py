@@ -233,7 +233,8 @@ class IndexStore:
                 vref = build_vocab_index_ref(vocabulary(canonical))
                 self._open[name] = (gen, canonical, vref)
         else:
-            ds = ray.data.read_parquet(paths)
+            from nxsearch_ray.sources.io import read_parquet_clean
+            ds = read_parquet_clean(paths)
             # tokens column kept so a later fuzzy search can build the
             # vocabulary from the cached canonical table
             canonical = canonicalize_stage(
