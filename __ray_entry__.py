@@ -744,7 +744,7 @@ _BM25_LIMIT = 500
 # rewritten as consuming alternatives)
 _SQL_TOKEN_RE = (r"[\pL\pN\pM\p{Pc}]+"
                  r"(?:[''’.:·]\pL[\pL\pN\pM\p{Pc}]*"
-                 r"|[.,]\pN[\pL\pN\pM\p{Pc}]*)*")  # '' = SQL-escaped '
+                 r"|[.,;''’]\pN[\pL\pN\pM\p{Pc}]*)*")  # '' = SQL-escaped '
 _CANON_DOCS_CACHE: dict[str, Any] = {}
 
 

@@ -73,7 +73,6 @@ def run_benchmarks() -> dict:
         "ray.data._internal.execution.streaming_executor_state"
     ).addFilter(_DropSchemalessEmptyBundleWarning())
 
-    import ray.data as rd
     from nxsearch_ray.sources.io import read_parquet_clean
 
     from nxsearch_ray.config import PipelineConfig
@@ -215,10 +214,10 @@ def run_scaling_worker(ncpu: int, reps: int = 2) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    import ray.data as rd
 
     from nxsearch_ray.config import PipelineConfig
     from nxsearch_ray.pipelines.dedup import clusters_as_table, run_dedup
+    from nxsearch_ray.sources.io import read_parquet_clean
     from nxsearch_ray.sources.synth import synth_parquet
 
     cfg = PipelineConfig()

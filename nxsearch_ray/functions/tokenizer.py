@@ -12,9 +12,12 @@ regex implementing the UAX #29 word-boundary subset the corpus exercises:
   * words are runs of letters / digits / marks / connector punctuation
     (ExtendNumLet, e.g. ``_`` — keeps ``hello_i_m_arbitrary_concatenated``
     whole, t_tokenize.c test_case_3);
-  * MidLetter / MidNumLet single occurrences (``'``, ``’``, ``.``, ``:``)
-    join word chars (``i.b.m``, ``doesn't`` — t_tokenize.c test_case_2/5);
-  * MidNum (``,``, ``.``) joins digits (``3,500.12`` stays one token);
+  * MidLetter / MidNumLet / Single_Quote single occurrences (``'``,
+    ``’``, ``.``, ``:``, ``·``) join word chars (``i.b.m``,
+    ``doesn't`` — t_tokenize.c test_case_2/5; UAX#29 WB6/WB7);
+  * MidNum / MidNumLet / Single_Quote (``,``, ``.``, ``;``, ``'``,
+    ``’``) joins digits (``3,500.12``, ``1'000`` stay one token;
+    UAX#29 WB11/WB12);
   * everything else breaks (``one;two;three`` → three tokens,
     t_tokenize.c test_case_5).
 
@@ -33,7 +36,7 @@ import regex
 # punctuation (underscore et al. = UAX#29 ExtendNumLet).
 _W = r"[\p{L}\p{N}\p{M}\p{Pc}]"
 _TOKEN_RE = regex.compile(
-    rf"{_W}+(?:(?:['’.:·](?=\p{{L}})|[.,](?=\p{{N}})){_W}+)*",
+    rf"{_W}+(?:(?:['’.:·](?=\p{{L}})|[.,;'’](?=\p{{N}})){_W}+)*",
     regex.V1,
 )
 
