@@ -234,6 +234,7 @@ def run_scaling_worker(ncpu: int, reps: int = 2) -> None:
         for f in os.listdir(corpus) if f.endswith(".parquet"))
     walls = []
     rows = 0
+    stage_walls = []
     for _ in range(reps):
         t0 = time.monotonic()
         res = run_dedup(
@@ -241,8 +242,12 @@ def run_scaling_worker(ncpu: int, reps: int = 2) -> None:
                             override_num_blocks=4 * ncpu), cfg)
         rows = clusters_as_table(res).num_rows
         walls.append(round(time.monotonic() - t0, 3))
+        stage_walls.append({k: v for k, v in res.stats.items()
+                            if k.startswith("wall_")
+                            or k.endswith("_plan")})
     ray.shutdown()
     print(json.dumps({"sec": min(walls), "walls": walls,
+                      "stage_walls": stage_walls,
                       "n_pages": n_pages, "clusters": rows,
                       "num_cpus": ncpu}))
 
@@ -310,6 +315,8 @@ def run_scaling() -> dict:
         pairs.append({"sec_lo": r_lo["sec"], "sec_hi": r_hi["sec"],
                       "walls_lo": r_lo["walls"],
                       "walls_hi": r_hi["walls"],
+                      "stage_walls_lo": r_lo.get("stage_walls"),
+                      "stage_walls_hi": r_hi.get("stage_walls"),
                       "efficiency": round(eff, 3),
                       "ceiling": pair_ceiling,
                       "efficiency_vs_ceiling": round(
