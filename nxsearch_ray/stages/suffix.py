@@ -247,12 +247,36 @@ class SuffixVerifyActor:
         return exact_containment_table(batch, self.idx, self.cfg)
 
 
+# per-worker-process cache (same rationale as verify._BCAST_CACHE:
+# plasma get is zero-copy, tasks need no warm state worth an actor
+# pool's ramp + coarse per-block task granularity)
+_TOKIDX_CACHE: dict = {}
+
+
 def suffix_verify_broadcast(pairs_ds, idx_ref, cfg: PipelineConfig,
-                            concurrency=(1, 8)):
+                            concurrency=None):
+    key = (idx_ref.hex() if hasattr(idx_ref, "hex") else id(idx_ref),
+           cfg.config_hash())
+    cfg_json = cfg.to_json()
+
+    def adjudicate_batch(batch: pa.Table) -> pa.Table:
+        import ray
+
+        cached = _TOKIDX_CACHE.get(key)
+        if cached is None:
+            idx = ray.get(idx_ref) if not isinstance(
+                idx_ref, TokenIndex) else idx_ref
+            cached = (idx, PipelineConfig.from_json(cfg_json))
+            _TOKIDX_CACHE.clear()
+            _TOKIDX_CACHE[key] = cached
+        return exact_containment_table(batch, cached[0], cached[1])
+
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     return pairs_ds.map_batches(
-        SuffixVerifyActor, fn_constructor_args=(idx_ref, cfg.to_json()),
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=concurrency, num_cpus=1)
+        adjudicate_batch, batch_format="pyarrow", batch_size=4096,
+        **kwargs)
 
 
 def suffix_verify_bucketed(pairs_ds, canonical_ds, cfg: PipelineConfig,
