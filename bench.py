@@ -185,19 +185,28 @@ def _burn(_):
     return x
 
 
-def cpu_burn_ceiling(lo: int, hi: int) -> float:
+def cpu_burn_ceiling(lo: int, hi: int, samples: int = 3) -> float:
     """Measured hardware/host parallel-scaling ceiling between the two
     process counts: pure-CPU busy loops, no Ray, no memory traffic.
     On this shared microVM the ceiling at 8->32 is ~0.75-0.78 (host
     oversubscription) — no pipeline can exceed it; reported alongside
-    the pipeline efficiency as the normalization reference."""
+    the pipeline efficiency as the normalization reference.
+
+    A single 2-second (lo, hi) pair samples host noise on a far
+    shorter timescale than the multi-minute pipeline runs and has
+    measured anywhere from 0.64 to 1.48 on identical idle-repo
+    windows; take the MEDIAN of ``samples`` interleaved pairs."""
     import multiprocessing as mp
 
-    totals = {}
-    for n in (lo, hi):
-        with mp.Pool(n) as p:
-            totals[n] = sum(p.map(_burn, range(n)))
-    return round((totals[hi] / totals[lo]) / (hi / lo), 3)
+    ratios = []
+    for _ in range(samples):
+        totals = {}
+        for n in (lo, hi):
+            with mp.Pool(n) as p:
+                totals[n] = sum(p.map(_burn, range(n)))
+        ratios.append((totals[hi] / totals[lo]) / (hi / lo))
+    ratios.sort()
+    return round(ratios[len(ratios) // 2], 3)
 
 
 def run_scaling_worker(ncpu: int, reps: int = 2) -> None:
