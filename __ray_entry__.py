@@ -152,6 +152,35 @@ def q_repetition_stats(sf_dir: str):
     return ds.map_batches(repetition_stats, batch_format="pyarrow")
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII detection + redaction over the pages table
+    (stages/pii.py): deterministic page_id-derived PII is injected
+    first (the sandbox corpus is clean word soup), then counted and
+    scrubbed with vectorized RE2 kernels — the SQL twin runs the same
+    injection, the same patterns, the same replacement order."""
+    from nxsearch_ray.stages.pii import inject_pii, scrub_pii
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = scrub_pii(inject_pii(t))
+        return out.select(["page_id", "n_email", "n_phone", "n_ip",
+                           "clean_text"])
+
+    return _pages(sf_dir, include_html=False).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination over documents (stages/decontam.py):
+    docs sharing any word 5-gram with the deterministic benchmark
+    slice (doc_id % 97 == 0) are flagged; broadcast gram-set
+    membership, map-only scan."""
+    from nxsearch_ray.stages.decontam import decontaminate
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    return decontaminate(ds, n=5, benchmark_mod=97)
+
+
 def q_line_dedup(sf_dir: str):
     """CCNet-style corpus-level line dedup over the pages table
     (stages/linededup.py): census shuffle + broadcast boilerplate set
@@ -917,6 +946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
         "line_dedup": q_line_dedup,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         "lang_counts": q_lang_counts,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,
@@ -952,7 +983,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def pii_scrub_oracle() -> str:
+    from nxsearch_ray.stages.pii import pii_inject_sql, pii_select_sql
+
+    return f"""
+WITH {PAGES_CTE},
+inj AS (SELECT page_id,
+               {pii_inject_sql('text', 'page_id')} AS text
+        FROM pages)
+SELECT page_id, {pii_select_sql('text')}
+FROM inj
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from nxsearch_ray.stages.decontam import decontaminate_sql
     from nxsearch_ray.stages.linededup import line_dedup_sql
     from nxsearch_ray.stages.packing import (chunk_documents_sql,
                                              exact_quantiles_sql,
@@ -1052,6 +1097,8 @@ SELECT page_id, url_messy,
 FROM m
 """,
         "line_dedup": line_dedup_sql(PAGES_CTE),
+        "pii_scrub": pii_scrub_oracle(),
+        "decontaminate": decontaminate_sql(n=5, benchmark_mod=97),
         "lang_counts": ("SELECT lang, count(*) AS n_docs FROM documents "
                         "GROUP BY lang"),
         "ngram_jaccard": f"""

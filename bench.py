@@ -150,7 +150,8 @@ def run_benchmarks() -> dict:
     for name in ("extract_text", "exact_dedup", "doc_stats",
                  "ngram_jaccard", "line_dedup", "repetition_stats",
                  "pack_sequences", "sessionize", "ann_topk",
-                 "ann_topk_ivf", "bm25_topk", "topk_events"):
+                 "ann_topk_ivf", "bm25_topk", "topk_events",
+                 "pii_scrub", "decontaminate"):
         def runq(name=name):
             out = qs[name](SF_DIR)
             if hasattr(out, "materialize"):

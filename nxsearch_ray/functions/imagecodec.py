@@ -1,22 +1,30 @@
-"""Pure-numpy image codec for uncompressed formats (PPM/PGM/BMP).
+"""Pure-numpy image codec: PPM/PGM/BMP (uncompressed) and PNG.
 
-The sandbox has no Pillow/libjpeg, but the uncompressed classics need
-none: PPM (P6) / PGM (P5) are netpbm headers + raw bytes, and 24-bit
-BI_RGB BMP is a fixed header + padded BGR rows — both implemented here
-from their public specifications with numpy only.  This makes the
-multimodal image stages REAL for these formats; compressed formats
-(JPEG/PNG/...) still require a codec library and keep the stub
-behavior (`decode_image` returns None → caller raises or falls back).
+The sandbox has no Pillow/libjpeg, but neither format class here
+needs one: PPM (P6) / PGM (P5) are netpbm headers + raw bytes,
+24-bit BI_RGB BMP is a fixed header + padded BGR rows, and PNG
+(W3C spec) is zlib-compressed filtered scanlines — stdlib ``zlib``
+plus numpy covers decode end-to-end (8-bit depth, color types
+0/2/3/4/6, non-interlaced; Adam7 and 16-bit raise ValueError).
+JPEG/WebP/... still require an entropy/DCT codec library and keep
+the stub behavior (`decode_image` returns None → caller raises or
+falls back).
 
-Decode output is (H, W, C) uint8 with C ∈ {1, 3}.
+Decode output is (H, W, C) uint8 with C ∈ {1, 3} (alpha channels
+are dropped: the feature stages are defined over color planes).
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 
-__all__ = ["decode_image", "encode_ppm", "resize_nearest",
-           "image_feature_vector", "FEATURE_DIM"]
+__all__ = ["decode_image", "encode_ppm", "encode_png",
+           "resize_nearest", "image_feature_vector", "FEATURE_DIM"]
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 FEATURE_DIM = 8
 
@@ -80,14 +88,141 @@ def _decode_bmp(buf: bytes) -> np.ndarray:
     return bgr[:, :, ::-1].copy()   # BGR → RGB
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int
+                  ) -> np.ndarray:
+    """Reverse the PNG scanline filters (spec §9): returns (h, w*bpp)
+    decoded bytes.  None/Up/Sub are vectorized per row (Sub is a
+    per-lane cumsum — mod 256 distributes over addition); Average and
+    Paeth predict from the DECODED left byte through a floor-div /
+    non-linear choice, so those rows run a per-byte loop (rare in
+    practice and bounded by one row)."""
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        f = int(raw[pos])
+        row = raw[pos + 1:pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        if f == 0:
+            cur = row
+        elif f == 2:                      # Up
+            cur = (row + prev) & 255
+        elif f == 1:                      # Sub: per-lane cumsum
+            cur = np.cumsum(row.reshape(-1, bpp), axis=0) \
+                .reshape(-1) & 255
+        elif f in (3, 4):                 # Average / Paeth
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if f == 3:
+                    cur[i] = (row[i] + ((a + b) >> 1)) & 255
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    cur[i] = (row[i] + pred) & 255
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _decode_png(buf: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → (H, W, C) uint8, C ∈ {1, 3}.
+    Implemented from the public W3C spec (chunk stream → IHDR →
+    concatenated IDAT → zlib inflate → unfilter → de-palette /
+    drop alpha)."""
+    pos = len(PNG_SIG)
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    n = len(buf)
+    while pos + 8 <= n:
+        (length,), ctype = struct.unpack(">I", buf[pos:pos + 4]), \
+            buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length            # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8) \
+                .reshape(-1, 3).copy()
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    if ctype_i not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype_i}")
+    ch = _PNG_CHANNELS[ctype_i]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)),
+                        dtype=np.uint8)
+    px = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if ctype_i == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    if ctype_i == 4:                  # gray+alpha → gray
+        return px[:, :, :1].copy()
+    if ctype_i == 6:                  # RGBA → RGB
+        return px[:, :, :3].copy()
+    return px
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, {1,3}) or (H, W) uint8 → minimal filter-0 PNG bytes
+    (the test-side twin of `_decode_png`)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError("encode_png expects 1 or 3 channels")
+    ctype = 0 if c == 1 else 2
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + tag + data + \
+            struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    rows = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8),
+         arr.reshape(h, w * c)], axis=1)
+    return PNG_SIG + chunk(b"IHDR", ihdr) + \
+        chunk(b"IDAT", zlib.compress(rows.tobytes())) + \
+        chunk(b"IEND", b"")
+
+
 def decode_image(buf: bytes) -> np.ndarray | None:
-    """(H, W, C) uint8 for supported uncompressed formats, else None
-    (unknown magic — a compressed format needing a codec library).
-    Malformed payloads of a SUPPORTED format raise ValueError."""
+    """(H, W, C) uint8 for PPM/PGM/BMP/PNG, else None (unknown magic
+    — a format needing a codec library, e.g. JPEG).  Malformed
+    payloads of a SUPPORTED format raise ValueError."""
     if len(buf) >= 2 and buf[:2] in (b"P6", b"P5"):
         return _decode_pnm(buf)
     if len(buf) >= 2 and buf[:2] == b"BM":
         return _decode_bmp(buf)
+    if buf[:8] == PNG_SIG:
+        return _decode_png(buf)
     return None
 
 

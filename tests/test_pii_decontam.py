@@ -1,0 +1,140 @@
+"""PII scrub + benchmark decontamination operators.
+
+Python-oracle checks on hand-built rows plus a DuckDB differential at
+sf0.001 (the driver repeats the differential at sf0.01)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_pii_rules_on_handmade_text():
+    from nxsearch_ray.stages.pii import detect_pii, redact_pii
+
+    t = pa.table({
+        "page_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": [
+            "mail a.b-c%d@mail.example.co.uk now",
+            "call +1 555-867-5309 or visit 192.168.0.1 twice 10.0.0.7",
+            "no pii here, 1.2 and v1.2.3 are not addresses",
+        ]})
+    out = redact_pii(detect_pii(t))
+    assert out.column("n_email").to_pylist() == [1, 0, 0]
+    assert out.column("n_phone").to_pylist() == [0, 1, 0]
+    assert out.column("n_ip").to_pylist() == [0, 2, 0]
+    clean = out.column("clean_text").to_pylist()
+    assert clean[0] == "mail <EMAIL> now"
+    assert clean[1] == "call <PHONE> or visit <IP> twice <IP>"
+    assert clean[2] == t.column("text").to_pylist()[2]
+
+
+def test_pii_injection_roundtrip():
+    """Injected PII is fully detected and scrubbed back out."""
+    from nxsearch_ray.stages.pii import (detect_pii, inject_pii,
+                                         redact_pii)
+
+    t = pa.table({
+        "page_id": pa.array([0, 7, 12345], type=pa.int64()),
+        "text": ["alpha beta", "gamma", "delta epsilon zeta"]})
+    inj = inject_pii(t)
+    out = redact_pii(detect_pii(inj))
+    assert out.column("n_email").to_pylist() == [1, 1, 1]
+    assert out.column("n_phone").to_pylist() == [1, 1, 1]
+    assert out.column("n_ip").to_pylist() == [1, 1, 1]
+    for orig, clean in zip(t.column("text").to_pylist(),
+                           out.column("clean_text").to_pylist()):
+        # "contact-<id>" is itself email local-part charset, so the
+        # whole injected token redacts to one <EMAIL>
+        assert clean == orig + " <EMAIL> call <PHONE> from <IP> "
+
+
+def test_pii_oracle_differential(ray_session, sf_dir):
+    """Ray output == DuckDB twin at sf0.001, byte-for-byte."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    ray_tbl = pa.concat_tables(
+        entrymod.q_pii_scrub(sf_dir).iter_batches(
+            batch_format="pyarrow"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    sql_tbl = con.execute(entrymod.oracle_sql()["pii_scrub"]).arrow()
+    r = ray_tbl.sort_by("page_id").to_pydict()
+    s = sql_tbl.sort_by("page_id").to_pydict()
+    assert r["page_id"] == s["page_id"]
+    assert r["n_email"] == s["n_email"]
+    assert r["n_phone"] == s["n_phone"]
+    assert r["n_ip"] == s["n_ip"]
+    assert r["clean_text"] == s["clean_text"]
+    assert all(n >= 1 for n in r["n_email"])  # injection really ran
+
+
+def test_decontaminate_python_oracle(ray_session, tmp_path):
+    """Tiny corpus with planted contamination vs a brute-force
+    python oracle."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from nxsearch_ray.stages.decontam import decontaminate
+    from nxsearch_ray.stages.setsim import ngram_set
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts, ids = [], []
+    for d in range(120):
+        words = list(rng.choice(vocab, size=rng.integers(3, 30)))
+        texts.append(" ".join(words))
+        ids.append(d)
+    # plant: doc 1 copies a 5-gram from benchmark doc 0 (0 % 97 == 0)
+    bench_words = texts[0].split()
+    if len(bench_words) >= 5:
+        texts[1] = texts[1] + " " + " ".join(bench_words[:5])
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                    "text": texts})
+    path = tmp_path / "docs.parquet"
+    pq.write_table(tbl, path)
+
+    out = pa.concat_tables(
+        decontaminate(ray.data.read_parquet(str(path)), n=5,
+                      benchmark_mod=97)
+        .iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+
+    bench_grams: set[str] = set()
+    for d, t in zip(ids, texts):
+        if d % 97 == 0:
+            bench_grams |= ngram_set(t, 5)
+    expect = {d: len(ngram_set(t, 5) & bench_grams)
+              for d, t in zip(ids, texts) if d % 97 != 0}
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("n_hits").to_pylist()))
+    assert got == expect
+    if len(bench_words) >= 5:
+        assert got[1] >= 1
+    assert out.column("contaminated").to_pylist() == \
+        [v > 0 for v in expect.values()]
+
+
+def test_decontaminate_oracle_differential(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    ray_tbl = pa.concat_tables(
+        entrymod.q_decontaminate(sf_dir).iter_batches(
+            batch_format="pyarrow")).sort_by("doc_id")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    sql_tbl = con.execute(
+        entrymod.oracle_sql()["decontaminate"]).arrow() \
+        .sort_by("doc_id")
+    assert ray_tbl.column("doc_id").to_pylist() == \
+        sql_tbl.column("doc_id").to_pylist()
+    assert ray_tbl.column("n_hits").to_pylist() == \
+        sql_tbl.column("n_hits").to_pylist()
+    assert ray_tbl.column("contaminated").to_pylist() == \
+        sql_tbl.column("contaminated").to_pylist()

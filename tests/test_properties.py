@@ -119,3 +119,21 @@ def test_block_topk_matches_sorted_reference(rows, k):
                           if gg == grp), key=lambda x: (-x[0], x[1]))
         expect.extend((grp, vv, tt) for vv, tt in members[:k])
     assert got_set == sorted(expect)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=80), min_size=1,
+                max_size=10))
+def test_pii_redaction_idempotent(texts):
+    """redact(redact(x)) == redact(x): the replacement tokens contain
+    no digits or '@', so a second pass must be a no-op."""
+    from nxsearch_ray.stages.pii import redact_pii
+
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    once = redact_pii(t)
+    twice = redact_pii(
+        once.drop_columns(["clean_text"]).append_column(
+            "text2", once.column("clean_text")),
+        text_col="text2")
+    assert twice.column("clean_text").to_pylist() == \
+        once.column("clean_text").to_pylist()
