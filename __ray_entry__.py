@@ -152,6 +152,21 @@ def q_repetition_stats(sf_dir: str):
     return ds.map_batches(repetition_stats, batch_format="pyarrow")
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher-rules document filter (Rae et al. 2021 A1) over
+    documents: rule columns + keep decision, all vectorized RE2
+    kernels (stages/textstats.py gopher_filter; SQL twin generated
+    from the same constants)."""
+    from nxsearch_ray.stages.textstats import gopher_filter
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: gopher_filter(t, min_words=20,
+                                min_required_stopwords=1),
+        batch_format="pyarrow").drop_columns(["text"])
+
+
 def q_pii_scrub(sf_dir: str):
     """PII detection + redaction over the pages table
     (stages/pii.py): deterministic page_id-derived PII is injected
@@ -948,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "gopher_quality": q_gopher_quality,
         "lang_counts": q_lang_counts,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,
@@ -1006,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
     from nxsearch_ray.stages.sessionize import sessionize_sql
     from nxsearch_ray.stages.urlnorm import url_canonicalize_sql
     from nxsearch_ray.stages.textstats import (_LANG_MARKERS, doc_stats_sql,
+                                               gopher_filter_sql,
                                                repetition_stats_sql)
 
     markers_values = ", ".join(
@@ -1099,6 +1116,13 @@ FROM m
         "line_dedup": line_dedup_sql(PAGES_CTE),
         "pii_scrub": pii_scrub_oracle(),
         "decontaminate": decontaminate_sql(n=5, benchmark_mod=97),
+        "gopher_quality": (
+            "SELECT doc_id, "
+            + ", ".join(f"{expr} AS {name}" for name, expr in
+                        gopher_filter_sql(
+                            "text", min_words=20,
+                            min_required_stopwords=1).items())
+            + " FROM documents"),
         "lang_counts": ("SELECT lang, count(*) AS n_docs FROM documents "
                         "GROUP BY lang"),
         "ngram_jaccard": f"""

@@ -138,3 +138,59 @@ def test_decontaminate_oracle_differential(ray_session, sf_dir):
         sql_tbl.column("n_hits").to_pylist()
     assert ray_tbl.column("contaminated").to_pylist() == \
         sql_tbl.column("contaminated").to_pylist()
+
+
+def test_gopher_filter_rules():
+    """Each Gopher rule trips on a purpose-built document."""
+    from nxsearch_ray.stages.textstats import gopher_filter
+
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "runs back home with plenty of energy to spare every "
+             "single day of the week because that is what foxes do "
+             "when they have nothing better planned for the day")
+    docs = {
+        "good": prose,
+        "too_short": "the and of tiny",
+        "bullets": "\n".join(f"- item {i} of the list and more"
+                             for i in range(10)),
+        "ellipses": "\n".join(f"the thing number {i} trails off..."
+                              for i in range(10)),
+        "symbols": " ".join(["#tag"] * 30) + " " + prose,
+        "nonalpha": " ".join(["12345"] * 60) + " the of and",
+        "no_stopwords": " ".join(f"w{i}ord" for i in range(60)),
+    }
+    t = pa.table({"doc_id": list(range(len(docs))),
+                  "text": list(docs.values())})
+    out = gopher_filter(t, min_words=20)
+    keep = dict(zip(docs.keys(), out.column("keep").to_pylist()))
+    assert keep["good"] is True
+    for k in ("too_short", "bullets", "ellipses", "symbols",
+              "nonalpha", "no_stopwords"):
+        assert keep[k] is False, k
+    names = dict(zip(docs.keys(),
+                     out.column("bullet_line_ratio").to_pylist()))
+    assert names["bullets"] == 1.0
+    assert dict(zip(docs.keys(),
+                    out.column("ellipsis_line_ratio").to_pylist())
+                )["ellipses"] == 1.0
+
+
+def test_gopher_oracle_differential(ray_session, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    ray_tbl = pa.concat_tables(
+        entrymod.q_gopher_quality(sf_dir).iter_batches(
+            batch_format="pyarrow")).sort_by("doc_id")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    sql_tbl = con.execute(
+        entrymod.oracle_sql()["gopher_quality"]).arrow() \
+        .sort_by("doc_id")
+    for col in ("doc_id", "n_words", "n_required_stopwords", "keep"):
+        assert ray_tbl.column(col).to_pylist() == \
+            sql_tbl.column(col).to_pylist(), col
+    keeps = set(ray_tbl.column("keep").to_pylist())
+    assert keeps == {True, False}   # the filter genuinely splits
