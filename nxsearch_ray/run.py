@@ -43,6 +43,19 @@ def _load_pages(input_dir: str, cfg):
     import pyarrow as pa
     import ray.data as rd
 
+    # WARC segments (file or dir of .warc/.warc.gz) ingest directly
+    if input_dir.endswith((".warc", ".warc.gz")) or (
+            os.path.isdir(input_dir) and any(
+                f.endswith((".warc", ".warc.gz"))
+                for f in os.listdir(input_dir))):
+        from nxsearch_ray.sources.warc import pages_from_warc
+
+        paths = [input_dir] if os.path.isfile(input_dir) else [
+            os.path.join(input_dir, f)
+            for f in sorted(os.listdir(input_dir))
+            if f.endswith((".warc", ".warc.gz"))]
+        return pages_from_warc(paths)
+
     ds = rd.read_parquet(input_dir, file_extensions=["parquet"])
     present = [c for c in PAGE_COLUMNS if c in ds.schema().names]
     if "url" not in present and "page_id" not in present:

@@ -1,0 +1,135 @@
+"""WARC source: spec-shaped parse, gzip member layout, Ray ingest,
+and flow into the extraction + dedup stages."""
+
+from __future__ import annotations
+
+import gzip
+
+import pyarrow as pa
+import pytest
+
+from nxsearch_ray.sources.warc import (
+    pages_from_warc,
+    parse_warc,
+    record_bytes,
+    response_record,
+    warc_bytes_to_pages,
+    warc_gz_bytes,
+)
+
+
+def _sample_records() -> list[bytes]:
+    return [
+        record_bytes({"WARC-Type": "warcinfo"}, b"software: test\r\n"),
+        response_record("https://a.example.org/x",
+                        "2024-03-01T12:00:00Z",
+                        b"<html><body><p>alpha beta</p></body></html>"),
+        record_bytes({"WARC-Type": "request",
+                      "WARC-Target-URI": "https://a.example.org/y"},
+                     b"GET /y HTTP/1.1\r\n"),
+        response_record("https://b.example.org/y",
+                        "2024-03-02T00:30:00Z",
+                        b"<html><body><p>gamma delta</p></body></html>"),
+    ]
+
+
+def test_parse_roundtrip_plain_and_gz():
+    recs = _sample_records()
+    plain = b"".join(recs)
+    parsed = parse_warc(plain)
+    assert [r["headers"]["warc-type"] for r in parsed] == \
+        ["warcinfo", "response", "request", "response"]
+    # single-member gzip AND member-per-record gzip both decode
+    for buf in (gzip.compress(plain), warc_gz_bytes(recs)):
+        t = warc_bytes_to_pages(buf)
+        assert t.num_rows == 2     # responses only
+        assert t.column("url").to_pylist() == \
+            ["https://a.example.org/x", "https://b.example.org/y"]
+        assert b"alpha beta" in t.column("html").to_pylist()[0]
+        # HTTP head stripped
+        assert not t.column("html").to_pylist()[0].startswith(b"HTTP/")
+        ts = t.column("warc_ts").to_pylist()
+        assert ts[0].isoformat().startswith("2024-03-01T12:00:00")
+
+
+def test_parse_rejects_malformed():
+    with pytest.raises(ValueError, match="version line"):
+        parse_warc(b"NOTAWARC/1.0\r\n\r\n")
+    ok = response_record("https://x", "2024-01-01T00:00:00Z", b"hi")
+    with pytest.raises(ValueError, match="truncated WARC record"):
+        parse_warc(ok[:-6])
+
+
+def test_pages_from_warc_ray_ingest(ray_session, tmp_path):
+    p = tmp_path / "seg-00000.warc.gz"
+    p.write_bytes(warc_gz_bytes(_sample_records()))
+    ds = pages_from_warc([str(p)])
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    assert t.num_rows == 2
+    assert set(t.column("variant").to_pylist()) == {"warc"}
+    ids = t.column("page_id").to_pylist()
+    assert len(set(ids)) == 2 and all(i >= 0 for i in ids)
+
+    # the extraction stage consumes the html payload downstream
+    from nxsearch_ray.stages.html_extract import extract_stage
+
+    text = pa.concat_tables(
+        extract_stage(ds).iter_batches(batch_format="pyarrow")) \
+        .column("text").to_pylist()
+    assert sorted(text) == ["alpha beta", "gamma delta"]
+
+
+def test_warc_page_id_stable_across_recrawl():
+    body = b"<html><body><p>same</p></body></html>"
+    a1 = warc_bytes_to_pages(response_record(
+        "https://a/x", "2024-01-01T00:00:00Z", body))
+    a2 = warc_bytes_to_pages(response_record(
+        "https://a/x", "2024-01-02T00:00:00Z", body))
+    same = warc_bytes_to_pages(response_record(
+        "https://a/x", "2024-01-01T00:00:00Z", body))
+    assert a1.column("page_id").to_pylist() == \
+        same.column("page_id").to_pylist()      # deterministic
+    assert a1.column("page_id").to_pylist() != \
+        a2.column("page_id").to_pylist()        # recrawl = new row
+
+
+def test_cli_ingests_warc_dir(tmp_path):
+    """`python -m nxsearch_ray.run --input <dir of .warc.gz>` drives
+    the flagship over archive segments end-to-end."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = __import__("pathlib").Path(__file__).resolve().parents[1]
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    body = b"<html><body><p>%s</p></body></html>"
+    recs = []
+    for i in range(30):
+        text = (f"shared prose sentence number {i % 10} with plenty "
+                f"of overlapping words").encode()
+        recs.append(response_record(
+            f"https://site{i % 7}.example.org/p/{i}",
+            f"2024-04-0{i % 9 + 1}T00:00:00Z", body % text))
+    half = len(recs) // 2
+    (seg / "seg-0.warc.gz").write_bytes(warc_gz_bytes(recs[:half]))
+    (seg / "seg-1.warc.gz").write_bytes(warc_gz_bytes(recs[half:]))
+
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "nxsearch_ray.run",
+         "--input", str(seg), "--output", str(out),
+         "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=240, cwd=repo)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = json.loads(r.stdout.strip().splitlines()[-1])
+    # 30 responses share 10 distinct texts → every page clusters
+    # with its textual duplicates: 30 cluster rows in 10 clusters
+    assert line["n_cluster_rows"] == 30
+    import pyarrow.parquet as pq
+    import glob
+    ct = pa.concat_tables(
+        [pq.read_table(f) for f in
+         glob.glob(str(out / "clusters" / "*.parquet"))])
+    assert len(set(ct.column("cluster_id").to_pylist())) == 10
