@@ -1,14 +1,17 @@
-"""Pure-numpy image codec: PPM/PGM/BMP (uncompressed) and PNG.
+"""Pure-numpy image codec: PPM/PGM/BMP (uncompressed), PNG, and
+baseline JPEG.
 
-The sandbox has no Pillow/libjpeg, but neither format class here
+The sandbox has no Pillow/libjpeg, but none of the formats here
 needs one: PPM (P6) / PGM (P5) are netpbm headers + raw bytes,
-24-bit BI_RGB BMP is a fixed header + padded BGR rows, and PNG
+24-bit BI_RGB BMP is a fixed header + padded BGR rows, PNG
 (W3C spec) is zlib-compressed filtered scanlines — stdlib ``zlib``
 plus numpy covers decode end-to-end (8-bit depth, color types
-0/2/3/4/6, non-interlaced; Adam7 and 16-bit raise ValueError).
-JPEG/WebP/... still require an entropy/DCT codec library and keep
-the stub behavior (`decode_image` returns None → caller raises or
-falls back).
+0/2/3/4/6, non-interlaced; Adam7 and 16-bit raise ValueError) —
+and baseline sequential JPEG is implemented from ITU-T T.81 in
+`functions/jpegcodec.py` (Huffman + IDCT in numpy; progressive and
+arithmetic coding raise ValueError).  WebP/AVIF/... still require a
+codec library and keep the stub behavior (`decode_image` returns
+None → caller raises or falls back).
 
 Decode output is (H, W, C) uint8 with C ∈ {1, 3} (alpha channels
 are dropped: the feature stages are defined over color planes).
@@ -214,15 +217,19 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def decode_image(buf: bytes) -> np.ndarray | None:
-    """(H, W, C) uint8 for PPM/PGM/BMP/PNG, else None (unknown magic
-    — a format needing a codec library, e.g. JPEG).  Malformed
-    payloads of a SUPPORTED format raise ValueError."""
+    """(H, W, C) uint8 for PPM/PGM/BMP/PNG/baseline-JPEG, else None
+    (unknown magic — a format needing a codec library, e.g. WebP).
+    Malformed payloads of a SUPPORTED format raise ValueError."""
     if len(buf) >= 2 and buf[:2] in (b"P6", b"P5"):
         return _decode_pnm(buf)
     if len(buf) >= 2 and buf[:2] == b"BM":
         return _decode_bmp(buf)
     if buf[:8] == PNG_SIG:
         return _decode_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        from nxsearch_ray.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(buf)
     return None
 
 

@@ -5,13 +5,13 @@ metadata columns beside them; decode / feature-extraction runs as an
 actor-pool `map_batches` stage with SMALL batches (wide rows — see the
 block-size note in SURVEY.md §7).
 
-Image decode is REAL for PPM/PGM/BMP *and PNG*: payloads decode
-through the pure-numpy codec in functions/imagecodec.py (PNG needs
-only stdlib zlib — 8-bit depth, color types 0/2/3/4/6,
-non-interlaced), feeding real width/height/channel-statistics
-features and a real nearest-neighbor resize.  Entropy/DCT formats
-(JPEG/WebP, MP3, H.264) require libraries NOT in this container, so
-those paths are stubbed: a payload the codec
+Image decode is REAL for PPM/PGM/BMP, PNG *and baseline JPEG*:
+payloads decode through the pure-numpy codecs in
+functions/imagecodec.py and functions/jpegcodec.py (PNG needs only
+stdlib zlib; JPEG is a from-spec T.81 Huffman+IDCT implementation),
+feeding real width/height/channel-statistics features and a real
+nearest-neighbor resize.  Remaining formats (WebP/AVIF, MP3, H.264)
+require libraries NOT in this container, so those paths are stubbed: a payload the codec
 cannot decode raises `NotImplementedError` unless Pillow is present,
 and with ``deterministic_fake=True`` the stage emits deterministic
 pseudo-features derived from the payload bytes so that schema,
@@ -73,9 +73,9 @@ class ImageFeatureActor:
             return np.asarray(self._pil.open(io.BytesIO(payload))
                               .convert("RGB"))
         raise NotImplementedError(
-            "payload is not a PPM/PGM/BMP/PNG image and Pillow is "
-            "not installed — JPEG/WebP decode is a declared stub in "
-            "this environment")
+            "payload is not a PPM/PGM/BMP/PNG/baseline-JPEG image "
+            "and Pillow is not installed — WebP/AVIF decode is a "
+            "declared stub in this environment")
 
     def _fake_decode(self, payloads: list[bytes]) -> dict:
         lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
@@ -189,8 +189,9 @@ class ImageResizeActor:
         arr = decode_image(p)
         if arr is None:
             raise NotImplementedError(
-                "payload is not a PPM/PGM/BMP/PNG image — JPEG/WebP "
-                "resize is a declared stub in this environment")
+                "payload is not a PPM/PGM/BMP/PNG/baseline-JPEG "
+                "image — WebP/AVIF resize is a declared stub in this "
+                "environment")
         return encode_ppm(resize_nearest(arr, self.tw, self.th))
 
     def _resize_fake(self, p: bytes) -> bytes:

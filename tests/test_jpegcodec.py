@@ -1,0 +1,126 @@
+"""Baseline JPEG codec (functions/jpegcodec.py, from ITU-T T.81).
+
+Encoder and decoder share only the bitstream (all tables ride in
+DQT/DHT), so round-trips exercise the full marker/Huffman/DCT path;
+quality is asserted as PSNR since JPEG is lossy by design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nxsearch_ray.functions.jpegcodec import (
+    _ZIGZAG,
+    _build_huffman,
+    _AC_CHROMA,
+    _AC_LUMA,
+    _DC_CHROMA,
+    _DC_LUMA,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def _smooth(h, w, c=3):
+    """Gradient image — the signal class JPEG is built for."""
+    y = np.linspace(0, 200, h)[:, None]
+    x = np.linspace(0, 55, w)[None, :]
+    base = y + x
+    if c == 1:
+        return base[:, :, None].astype(np.uint8)
+    return np.stack([base, base + 30, 255 - base], axis=2) \
+        .clip(0, 255).astype(np.uint8)
+
+
+def test_zigzag_is_the_standard_order():
+    # first/last diagonals of the T.81 zigzag, natural flat indices
+    assert list(_ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(_ZIGZAG[-8:]) == [53, 60, 61, 54, 47, 55, 62, 63]
+
+
+def test_huffman_tables_are_valid_prefix_codes():
+    for bits, vals in (_DC_LUMA, _DC_CHROMA, _AC_LUMA, _AC_CHROMA):
+        assert sum(bits) == len(vals)
+        enc, dec = _build_huffman(bits, vals)
+        assert len(enc) == len(vals)
+        # kraft inequality (strict prefix code)
+        assert sum(2.0 ** -ln for _, ln in enc.values()) <= 1.0
+        # no code is a prefix of another
+        codes = sorted((ln, code) for code, ln in enc.values())
+        for i, (l1, c1) in enumerate(codes):
+            for l2, c2 in codes[i + 1:]:
+                assert (c2 >> (l2 - l1)) != c1
+
+
+@pytest.mark.parametrize("kw", [{}, {"subsample": True},
+                                {"quality": 95}, {"quality": 50},
+                                {"restart_interval": 2},
+                                {"subsample": True,
+                                 "restart_interval": 3}])
+def test_roundtrip_psnr_rgb(kw):
+    img = _smooth(41, 23)      # non-multiple-of-16 dims
+    out = decode_jpeg(encode_jpeg(img, **kw))
+    assert out.shape == img.shape
+    floor = 33.0 if kw.get("quality") == 50 else \
+        36.0 if kw.get("subsample") else 38.0
+    assert _psnr(out, img) > floor, kw
+
+
+def test_roundtrip_gray_and_flat():
+    g = _smooth(24, 17, c=1)
+    out = decode_jpeg(encode_jpeg(g))
+    assert out.shape == g.shape and _psnr(out, g) > 40
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(flat, quality=90))
+    assert _psnr(out, flat) > 45
+
+
+def test_noise_structural_roundtrip():
+    """Noise is JPEG's worst case — shape/type must survive even if
+    fidelity doesn't."""
+    n = np.random.default_rng(3).integers(
+        0, 256, (17, 19, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(n, quality=95))
+    assert out.shape == n.shape and out.dtype == np.uint8
+
+
+def test_rejects_non_baseline_and_malformed():
+    img = _smooth(16, 16)
+    buf = bytearray(encode_jpeg(img))
+    sof = buf.find(b"\xff\xc0")
+    buf[sof + 1] = 0xC2            # pretend progressive
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(buf))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"notajpeg")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(encode_jpeg(img)[:40] + b"\xff\xd9")
+
+
+def test_jpeg_flows_through_image_stage():
+    """decode_image dispatches JPEG; the multimodal feature actor
+    produces real stats from a JPEG payload."""
+    import pyarrow as pa
+
+    from nxsearch_ray.functions.imagecodec import decode_image
+    from nxsearch_ray.stages.multimodal import ImageFeatureActor
+
+    img = _smooth(32, 32)
+    payload = encode_jpeg(img, subsample=True)
+    arr = decode_image(payload)
+    assert arr.shape == img.shape
+
+    actor = ImageFeatureActor(deterministic_fake=False)
+    out = actor(pa.table({"page_id": pa.array([7], type=pa.int64()),
+                          "payload": [payload]}))
+    row = out.to_pylist()[0]
+    assert row["width"] == 32 and row["height"] == 32
+    # channel means survive the lossy trip
+    feat = row["features"]
+    assert abs(feat[0] - img[:, :, 0].mean() / 255.0) < 0.02

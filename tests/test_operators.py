@@ -546,15 +546,16 @@ def test_image_decode_unsupported_format_is_stubbed():
 
     actor = ImageFeatureActor(deterministic_fake=False)
     t = pa.table({"page_id": [1],
-                  "payload": [b"\xff\xd8\xff\xe0notreallyajpeg"]})
+                  "payload": [b"RIFF\x00\x00\x00\x00WEBPVP8 "]})
     with pytest.raises(NotImplementedError):
         actor(t)
-    # PNG decodes for real now — a malformed one is a data error
-    # (ValueError), not a missing-codec stub
-    t2 = pa.table({"page_id": [1],
-                   "payload": [b"\x89PNG\r\n\x1a\nnotreallyapng"]})
-    with pytest.raises(ValueError):
-        actor(t2)
+    # PNG and JPEG decode for real now — a malformed payload is a
+    # data error (ValueError), not a missing-codec stub
+    for payload in (b"\x89PNG\r\n\x1a\nnotreallyapng",
+                    b"\xff\xd8\xff\xe0notreallyajpeg"):
+        t2 = pa.table({"page_id": [1], "payload": [payload]})
+        with pytest.raises(ValueError):
+            actor(t2)
 
 
 def test_image_resize_fake(ray_session):
