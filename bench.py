@@ -151,7 +151,7 @@ def run_benchmarks() -> dict:
                  "ngram_jaccard", "line_dedup", "repetition_stats",
                  "pack_sequences", "sessionize", "ann_topk",
                  "ann_topk_ivf", "bm25_topk", "topk_events",
-                 "pii_scrub", "decontaminate"):
+                 "pii_scrub", "decontaminate", "gopher_quality"):
         def runq(name=name):
             out = qs[name](SF_DIR)
             if hasattr(out, "materialize"):

@@ -1,18 +1,24 @@
-"""Pure-Python codec for uncompressed Y4M (YUV4MPEG2) video.
+"""Pure-Python video codecs: uncompressed Y4M and MJPEG-in-AVI.
 
 Third member of the imagecodec/audiocodec family: YUV4MPEG2 is a
 plain-text header (``YUV4MPEG2 W.. H.. F<num>:<den> ... C420...``)
-followed by ``FRAME[ params]\\n`` + raw planar YUV per frame — no
-codec library required.  Compressed video (H.264/VP9/...) still needs
-one and keeps the stub behavior (``parse_y4m`` returns None for
-non-Y4M payloads).
+followed by ``FRAME[ params]\\n`` + raw planar YUV per frame.
+Motion-JPEG in an AVI container (the classic camera/webcam format) is
+a RIFF chunk walk whose ``00dc`` frames are standalone baseline JPEGs
+— decoded by `functions/jpegcodec.py`, so "compressed video" is real
+for MJPEG.  Inter-frame codecs (H.264/VP9/...) still need a codec
+library and keep the stub behavior (``parse_video`` returns None for
+unknown payloads).
 """
 
 from __future__ import annotations
 
+import struct
 from dataclasses import dataclass
 
-__all__ = ["Y4MVideo", "parse_y4m", "encode_y4m"]
+__all__ = ["Y4MVideo", "parse_y4m", "encode_y4m",
+           "AviMjpegVideo", "parse_avi_mjpeg", "encode_avi_mjpeg",
+           "parse_video"]
 
 _PLANE_FACTORS = {            # bytes per pixel pair-of-planes factor
     "420": 1.5, "420jpeg": 1.5, "420paldv": 1.5, "420mpeg2": 1.5,
@@ -90,6 +96,128 @@ def parse_y4m(buf: bytes) -> Y4MVideo | None:
     return Y4MVideo(width=w, height=h, fps_num=num, fps_den=den,
                     colorspace=cs, frame_offsets=offsets,
                     frame_size=frame_size, buf=buf)
+
+
+@dataclass
+class AviMjpegVideo:
+    """Same surface as Y4MVideo; ``frame(i)`` returns the i-th frame's
+    standalone JPEG bytes (decodable by jpegcodec/decode_image)."""
+
+    width: int
+    height: int
+    usec_per_frame: int
+    frame_spans: list[tuple[int, int]]     # (offset, size) in buf
+    buf: bytes
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.frame_spans)
+
+    @property
+    def fps(self) -> float:
+        return 1_000_000 / max(self.usec_per_frame, 1)
+
+    def frame(self, i: int) -> bytes:
+        off, size = self.frame_spans[i]
+        return self.buf[off:off + size]
+
+    def pts(self, i: int) -> float:
+        return i * self.usec_per_frame / 1_000_000
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """(fourcc, payload_start, payload_size) per chunk; LIST payloads
+    start AFTER their type fourcc, which is yielded as the id."""
+    while pos + 8 <= end:
+        fourcc = buf[pos:pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        start = pos + 8
+        if start + size > end:
+            raise ValueError("truncated AVI chunk")
+        if fourcc == b"LIST":
+            yield buf[start:start + 4], start + 4, size - 4
+        else:
+            yield fourcc, start, size
+        pos = start + size + (size & 1)    # chunks are word-aligned
+
+
+def parse_avi_mjpeg(buf: bytes) -> "AviMjpegVideo | None":
+    """Parse an AVI container holding MJPEG frames; None when the RIFF
+    magic is absent, ValueError on a malformed or non-MJPEG AVI."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        return None
+    (riff_size,) = struct.unpack("<I", buf[4:8])
+    end = min(8 + riff_size, len(buf))
+    w = h = 0
+    usec = 33333
+    spans: list[tuple[int, int]] = []
+    saw_movi = False
+    for cid, start, size in _riff_chunks(buf, 12, end):
+        if cid == b"hdrl":
+            for hid, hstart, hsize in _riff_chunks(buf, start,
+                                                   start + size):
+                if hid == b"avih" and hsize >= 40:
+                    usec = struct.unpack(
+                        "<I", buf[hstart:hstart + 4])[0] or usec
+                    w, h = struct.unpack(
+                        "<II", buf[hstart + 32:hstart + 40])
+        elif cid == b"movi":
+            saw_movi = True
+            for fid, fstart, fsize in _riff_chunks(buf, start,
+                                                   start + size):
+                if fid[2:4] in (b"dc", b"db"):
+                    if buf[fstart:fstart + 2] != b"\xff\xd8":
+                        raise ValueError(
+                            "AVI stream is not MJPEG (frame without "
+                            "JPEG SOI) — inter-frame codecs need a "
+                            "codec library")
+                    spans.append((fstart, fsize))
+    if not saw_movi:
+        raise ValueError("AVI without a movi list")
+    return AviMjpegVideo(width=w, height=h, usec_per_frame=usec,
+                         frame_spans=spans, buf=buf)
+
+
+def parse_video(buf: bytes):
+    """Y4MVideo | AviMjpegVideo | None (unknown container)."""
+    v = parse_y4m(buf)
+    if v is not None:
+        return v
+    return parse_avi_mjpeg(buf)
+
+
+def _chunk(fourcc: bytes, data: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(data)) + data + \
+        (b"\x00" if len(data) & 1 else b"")
+
+
+def _list(ltype: bytes, data: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + data)
+
+
+def encode_avi_mjpeg(jpeg_frames: list[bytes], width: int,
+                     height: int, *, fps: float = 30.0) -> bytes:
+    """Standalone JPEG frames → minimal MJPEG AVI (test helper /
+    re-emit sink)."""
+    usec = int(round(1_000_000 / max(fps, 1e-9)))
+    n = len(jpeg_frames)
+    maxf = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack("<10I", usec, 0, 0, 0, n, 0, 1, maxf,
+                       width, height) + b"\x00" * 16
+    strh = (b"vidsMJPG" + struct.pack("<IHHIIIIIII", 0, 0, 0, 0,
+                                      1, int(round(max(fps, 1e-9))),
+                                      0, n, maxf, 0)
+            + struct.pack("<I", 0) + struct.pack("<4H", 0, 0,
+                                                 width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)
+                         + _chunk(b"strf", strf)))
+    movi = _list(b"movi",
+                 b"".join(_chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_y4m(frames: list[bytes], width: int, height: int, *,

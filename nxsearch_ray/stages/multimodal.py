@@ -335,11 +335,14 @@ class VideoFrameSampleActor:
     row-expanding layout a real extractor produces, so downstream
     batch sizing / shuffle costs are representative.
 
-    Real path (default): uncompressed YUV4MPEG2 payloads parse with
-    the pure-Python codec (functions/videocodec.py) — true frame
-    count, true pts from the container frame rate, raw planar frame
-    bytes out; compressed containers raise the stub contract (no
-    codec library here).  Fake path: frame i is a deterministic byte
+    Real path (default): uncompressed YUV4MPEG2 and MJPEG/AVI
+    payloads parse with the pure-Python codecs
+    (functions/videocodec.py; MJPEG frames are standalone JPEGs
+    decoded by functions/jpegcodec.py) — true frame count, true pts
+    from the container frame rate, raw planar YUV or standalone-JPEG
+    frame bytes out; inter-frame codecs (H.264/VP9) raise the stub
+    contract (no codec library here).  Fake path: frame i is a
+    deterministic byte
     window at offset i/num_frames into the payload; pts assumes
     30 fps over a bytes-proportional duration."""
 
@@ -367,15 +370,15 @@ class VideoFrameSampleActor:
             emit(i, dur * i / self.num_frames, chunk)
 
     def _emit_real(self, p: bytes, emit) -> None:
-        from nxsearch_ray.functions.videocodec import parse_y4m
+        from nxsearch_ray.functions.videocodec import parse_video
 
-        vid = parse_y4m(p or b"")
+        vid = parse_video(p or b"")
         if vid is None:
             raise NotImplementedError(
-                "payload is not an uncompressed YUV4MPEG2 stream and "
-                "no video codec library is installed — compressed-"
-                "container decode is a declared stub in this "
-                "environment")
+                "payload is neither YUV4MPEG2 nor MJPEG/AVI and no "
+                "video codec library is installed — inter-frame "
+                "codec (H.264/VP9) decode is a declared stub in "
+                "this environment")
         take = min(self.num_frames, vid.n_frames)
         for i in range(take):
             src = (i * vid.n_frames) // max(take, 1)

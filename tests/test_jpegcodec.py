@@ -124,3 +124,56 @@ def test_jpeg_flows_through_image_stage():
     # channel means survive the lossy trip
     feat = row["features"]
     assert abs(feat[0] - img[:, :, 0].mean() / 255.0) < 0.02
+
+
+def test_mjpeg_avi_roundtrip_and_stage():
+    """MJPEG/AVI: encode JPEG frames into an AVI, parse it back, and
+    sample frames through the video stage — each sampled frame is a
+    standalone decodable JPEG."""
+    import pyarrow as pa
+
+    from nxsearch_ray.functions.videocodec import (
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+        parse_video,
+    )
+    from nxsearch_ray.stages.multimodal import VideoFrameSampleActor
+
+    frames_img = [np.clip(_smooth(24, 16).astype(np.int64) + i * 3,
+                          0, 255).astype(np.uint8) for i in range(5)]
+    jpegs = [encode_jpeg(f) for f in frames_img]
+    avi = encode_avi_mjpeg(jpegs, 16, 24, fps=10.0)
+
+    vid = parse_avi_mjpeg(avi)
+    assert vid is not None and vid.n_frames == 5
+    assert (vid.width, vid.height) == (16, 24)
+    assert abs(vid.fps - 10.0) < 1e-3
+    assert vid.pts(3) == pytest.approx(0.3)
+    for i in range(5):
+        out = decode_jpeg(vid.frame(i))
+        assert _psnr(out, frames_img[i]) > 38
+
+    assert parse_video(avi).n_frames == 5
+    assert parse_video(b"RIFX nope") is None
+
+    actor = VideoFrameSampleActor(num_frames=3,
+                                  deterministic_fake=False)
+    t = actor(pa.table({"page_id": pa.array([9], type=pa.int64()),
+                        "payload": [avi]}))
+    assert t.num_rows == 3
+    for fb in t.column("frame").to_pylist():
+        assert decode_jpeg(fb).shape == (24, 16, 3)
+
+
+def test_avi_rejects_non_mjpeg_stream():
+    from nxsearch_ray.functions.videocodec import (
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+
+    avi = bytearray(encode_avi_mjpeg(
+        [encode_jpeg(_smooth(8, 8))], 8, 8))
+    i = avi.find(b"00dc") + 8
+    avi[i:i + 2] = b"\x00\x00"       # corrupt the frame's SOI
+    with pytest.raises(ValueError, match="not MJPEG"):
+        parse_avi_mjpeg(bytes(avi))
