@@ -177,3 +177,57 @@ def test_avi_rejects_non_mjpeg_stream():
     avi[i:i + 2] = b"\x00\x00"       # corrupt the frame's SOI
     with pytest.raises(ValueError, match="not MJPEG"):
         parse_avi_mjpeg(bytes(avi))
+
+
+def test_g711_and_ima_adpcm_wav():
+    """Compressed-audio WAV: G.711 companders (exact table inverse)
+    and IMA ADPCM (lockstep-vectorized decoder vs the sequential
+    reference encoder) hit their textbook SNRs on a sine."""
+    from nxsearch_ray.functions.audiocodec import (
+        decode_wav,
+        encode_wav_g711,
+        encode_wav_ima_adpcm,
+    )
+
+    t = np.arange(8000) / 8000.0
+    x = 0.6 * np.sin(2 * np.pi * 440 * t)
+
+    def snr(ref, out):
+        n = min(len(ref), len(out))
+        ref, out = ref[:n], out[:n]
+        err = ((ref - out) ** 2).sum()
+        return 10 * np.log10((ref ** 2).sum() / max(err, 1e-12))
+
+    for law, floor in (("ulaw", 34.0), ("alaw", 34.0)):
+        out, sr = decode_wav(encode_wav_g711(x, 8000, law=law))
+        assert sr == 8000 and len(out) == len(x)
+        assert snr(x, out) > floor, law
+
+    out, sr = decode_wav(encode_wav_ima_adpcm(x, 8000))
+    assert sr == 8000 and len(out) >= len(x)   # tail block padded
+    assert snr(x, out) > 24.0
+
+    # flows through the real audio feature path
+    from nxsearch_ray.functions.audiocodec import audio_feature_vector
+
+    v = audio_feature_vector(out[:8000], sr)
+    ref = audio_feature_vector(x, 8000)
+    assert abs(v[0] - ref[0]) < 0.02            # RMS survives
+
+
+def test_wav_compressed_feature_stage():
+    """A µ-law payload drives the multimodal audio stage for real."""
+    import pyarrow as pa
+
+    from nxsearch_ray.functions.audiocodec import encode_wav_g711
+    from nxsearch_ray.stages.multimodal import AudioFeatureActor
+
+    t = np.arange(4000) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 220 * t)
+    actor = AudioFeatureActor(deterministic_fake=False)
+    out = actor(pa.table({
+        "page_id": pa.array([3], type=pa.int64()),
+        "payload": [encode_wav_g711(x, 8000)]}))
+    row = out.to_pylist()[0]
+    assert row["sample_rate"] == 8000
+    assert abs(row["features"][0] - 0.5 / np.sqrt(2)) < 0.02  # RMS
