@@ -5,8 +5,8 @@ The sandbox has no Pillow/libjpeg, but none of the formats here
 needs one: PPM (P6) / PGM (P5) are netpbm headers + raw bytes,
 24-bit BI_RGB BMP is a fixed header + padded BGR rows, PNG
 (W3C spec) is zlib-compressed filtered scanlines — stdlib ``zlib``
-plus numpy covers decode end-to-end (8-bit depth, color types
-0/2/3/4/6, non-interlaced; Adam7 and 16-bit raise ValueError) —
+plus numpy covers decode end-to-end (8- and 16-bit depth, color
+types 0/2/3/4/6, non-interlaced AND Adam7) —
 and baseline sequential JPEG is implemented from ITU-T T.81 in
 `functions/jpegcodec.py` (Huffman + IDCT in numpy; progressive and
 arithmetic coding raise ValueError).  WebP/AVIF/... still require a
@@ -94,17 +94,19 @@ def _decode_bmp(buf: bytes) -> np.ndarray:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int
-                  ) -> np.ndarray:
-    """Reverse the PNG scanline filters (spec §9): returns (h, w*bpp)
-    decoded bytes.  None/Up/Sub are vectorized per row (Sub is a
-    per-lane cumsum — mod 256 distributes over addition); Average and
-    Paeth predict from the DECODED left byte through a floor-div /
-    non-linear choice, so those rows run a per-byte loop (rare in
-    practice and bounded by one row)."""
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int,
+                  start: int = 0) -> np.ndarray:
+    """Reverse the PNG scanline filters (spec §9) for one (sub-)image
+    starting at byte ``start`` of the inflated stream: returns
+    (h, w*bpp) decoded bytes.  None/Up/Sub are vectorized per row
+    (Sub is a per-lane cumsum — mod 256 distributes over addition);
+    Average and Paeth predict from the DECODED left byte through a
+    floor-div / non-linear choice, so those rows run a per-byte loop
+    (rare in practice and bounded by one row)."""
     stride = w * bpp
-    if len(raw) < h * (stride + 1):
+    if len(raw) - start < h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
+    raw = raw[start:]
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     pos = 0
@@ -141,10 +143,10 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int
 
 
 def _decode_png(buf: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG → (H, W, C) uint8, C ∈ {1, 3}.
-    Implemented from the public W3C spec (chunk stream → IHDR →
-    concatenated IDAT → zlib inflate → unfilter → de-palette /
-    drop alpha)."""
+    """PNG → (H, W, C) uint8, C ∈ {1, 3}: 8/16-bit, color types
+    0/2/3/4/6, non-interlaced or Adam7.  Implemented from the public
+    W3C spec (chunk stream → IHDR → concatenated IDAT → zlib inflate
+    → unfilter [per pass] → de-palette / drop alpha / 16→8)."""
     pos = len(PNG_SIG)
     ihdr = None
     plte = None
@@ -169,18 +171,47 @@ def _decode_png(buf: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
-    if depth != 8:
+    if depth not in (8, 16):
         raise ValueError(f"unsupported PNG bit depth {depth}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype_i not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {ctype_i}")
+    if depth == 16 and ctype_i == 3:
+        raise ValueError("16-bit palette PNG is not a valid encoding")
     ch = _PNG_CHANNELS[ctype_i]
+    bpp = ch * (depth // 8)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)),
                         dtype=np.uint8)
-    px = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if interlace == 0:
+        bts = _png_unfilter(raw, h, w, bpp)
+    else:
+        # Adam7 (spec §8.2): 7 independently-filtered sub-images in
+        # one zlib stream, scattered back on the pass grids
+        bts = np.zeros((h, w * bpp), dtype=np.uint8)
+        start = 0
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8),
+                               (0, 4, 4, 8), (2, 0, 4, 4),
+                               (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = _png_unfilter(raw, ph, pw, bpp, start=start)
+            start += ph * (pw * bpp + 1)
+            rows = np.arange(y0, h, dy)
+            cols = (np.arange(x0, w, dx) * bpp)[:, None] \
+                + np.arange(bpp)[None, :]
+            bts[rows[:, None], cols.reshape(-1)[None, :]] = \
+                sub.reshape(ph, pw * bpp)
+    if depth == 16:
+        # big-endian 16-bit samples → 8-bit by dropping the low byte
+        # (the spec's recommended downconversion)
+        bts = bts.reshape(h, w * ch, 2)[:, :, 0]
+    px = bts.reshape(h, w, ch)
     if ctype_i == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

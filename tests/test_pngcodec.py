@@ -122,16 +122,22 @@ def test_png_encode_decode_roundtrip():
 
 def test_png_rejects_unsupported():
     img = _rng_img(4, 4, 3)
-    interlaced = bytearray(_png_bytes(img, 2, [0]))
-    # IHDR data starts at 8 (sig) + 8 (len+tag); interlace byte is
-    # the 13th and last IHDR byte
-    interlaced[8 + 8 + 12] = 1
-    with pytest.raises(ValueError, match="Adam7"):
-        decode_image(bytes(interlaced))
+    # IHDR data starts at 8 (sig) + 8 (len+tag): depth is byte 8 of
+    # the payload, interlace is byte 12
+    depth4 = bytearray(_png_bytes(img, 2, [0]))
+    depth4[8 + 8 + 8] = 4
     with pytest.raises(ValueError, match="bit depth"):
-        depth16 = bytearray(_png_bytes(img, 2, [0]))
-        depth16[8 + 8 + 8] = 16
-        decode_image(bytes(depth16))
+        decode_image(bytes(depth4))
+    bad_il = bytearray(_png_bytes(img, 2, [0]))
+    bad_il[8 + 8 + 12] = 2
+    with pytest.raises(ValueError, match="interlace"):
+        decode_image(bytes(bad_il))
+    # flipping a sequential stream's header to Adam7 misaligns the
+    # pass layout — a loud data error, not a silent mis-decode
+    lied = bytearray(_png_bytes(img, 2, [0]))
+    lied[8 + 8 + 12] = 1
+    with pytest.raises(ValueError, match="truncated|filter type"):
+        decode_image(bytes(lied))
 
 
 def test_png_feeds_multimodal_features():
@@ -143,3 +149,49 @@ def test_png_feeds_multimodal_features():
     v = image_feature_vector(arr)
     assert v.shape == (8,)
     assert abs(v[0] - img[:, :, 0].mean() / 255.0) < 1e-6
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def test_png_adam7_interlaced():
+    """Adam7: forward-interlace independently in the test, decode
+    through the codec — every pixel must land back on its grid."""
+    img = _rng_img(13, 11, 3, seed=21)     # odd dims hit empty edges
+    ihdr = struct.pack(">IIBBBBB", 11, 13, 8, 2, 0, 0, 1)
+    raw = b""
+    for i, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _forward_filter(sub, [i % 5])   # vary filters by pass
+    buf = PNG_SIG + _chunk(b"IHDR", ihdr) + \
+        _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    out = decode_image(buf)
+    assert np.array_equal(out, img)
+
+
+def test_png_16bit_depth():
+    """16-bit samples decode to their high bytes (the spec's
+    recommended 16->8 downconversion), all filter types."""
+    rng = np.random.default_rng(4)
+    img16 = rng.integers(0, 1 << 16, size=(6, 5, 3), dtype=np.uint16)
+    as_bytes = img16.astype(">u2").view(np.uint8).reshape(6, 5, 6)
+    ihdr = struct.pack(">IIBBBBB", 5, 6, 16, 2, 0, 0, 0)
+    buf = PNG_SIG + _chunk(b"IHDR", ihdr) + \
+        _chunk(b"IDAT", zlib.compress(
+            _forward_filter(as_bytes, [0, 1, 2, 3, 4]))) + \
+        _chunk(b"IEND", b"")
+    out = decode_image(buf)
+    assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
+
+    # 16-bit gray
+    g16 = rng.integers(0, 1 << 16, size=(4, 7, 1), dtype=np.uint16)
+    gb = g16.astype(">u2").view(np.uint8).reshape(4, 7, 2)
+    ihdr = struct.pack(">IIBBBBB", 7, 4, 16, 0, 0, 0, 0)
+    buf = PNG_SIG + _chunk(b"IHDR", ihdr) + \
+        _chunk(b"IDAT", zlib.compress(_forward_filter(gb, [4]))) + \
+        _chunk(b"IEND", b"")
+    assert np.array_equal(decode_image(buf),
+                          (g16 >> 8).astype(np.uint8))
