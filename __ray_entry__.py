@@ -152,6 +152,23 @@ def q_repetition_stats(sf_dir: str):
     return ds.map_batches(repetition_stats, batch_format="pyarrow")
 
 
+_BLOCKLIST = ("src1.example.org", "src4.example.org",
+              "src13.example.org", "nonexistent.example.net")
+
+
+def q_url_blocklist(sf_dir: str):
+    """Domain-blocklist pass over pages (stages/urlfilter.py):
+    broadcast sorted blocklist + one RE2 domain extract + one
+    searchsorted membership per batch; audit form (flag, keep all
+    rows) so the oracle sees every decision."""
+    from nxsearch_ray.stages.urlfilter import filter_blocklist
+
+    ds = _pages(sf_dir, include_html=False) \
+        .select_columns(["page_id", "url"])
+    return filter_blocklist(ds, _BLOCKLIST, keep_blocked=True) \
+        .select_columns(["page_id", "domain", "blocked"])
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-rules document filter (Rae et al. 2021 A1) over
     documents: rule columns + keep decision, all vectorized RE2
@@ -964,6 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "gopher_quality": q_gopher_quality,
+        "url_blocklist": q_url_blocklist,
         "lang_counts": q_lang_counts,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,
@@ -1014,6 +1032,7 @@ FROM inj
 
 def oracle_sql() -> dict[str, str]:
     from nxsearch_ray.stages.decontam import decontaminate_sql
+    from nxsearch_ray.stages.urlfilter import blocklist_sql
     from nxsearch_ray.stages.linededup import line_dedup_sql
     from nxsearch_ray.stages.packing import (chunk_documents_sql,
                                              exact_quantiles_sql,
@@ -1116,6 +1135,7 @@ FROM m
         "line_dedup": line_dedup_sql(PAGES_CTE),
         "pii_scrub": pii_scrub_oracle(),
         "decontaminate": decontaminate_sql(n=5, benchmark_mod=97),
+        "url_blocklist": blocklist_sql(_BLOCKLIST, PAGES_CTE),
         "gopher_quality": (
             "SELECT doc_id, "
             + ", ".join(f"{expr} AS {name}" for name, expr in

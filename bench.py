@@ -151,7 +151,8 @@ def run_benchmarks() -> dict:
                  "ngram_jaccard", "line_dedup", "repetition_stats",
                  "pack_sequences", "sessionize", "ann_topk",
                  "ann_topk_ivf", "bm25_topk", "topk_events",
-                 "pii_scrub", "decontaminate", "gopher_quality"):
+                 "pii_scrub", "decontaminate", "gopher_quality",
+                 "url_blocklist"):
         def runq(name=name):
             out = qs[name](SF_DIR)
             if hasattr(out, "materialize"):

@@ -194,3 +194,33 @@ def test_gopher_oracle_differential(ray_session, sf_dir):
             sql_tbl.column(col).to_pylist(), col
     keeps = set(ray_tbl.column("keep").to_pylist())
     assert keeps == {True, False}   # the filter genuinely splits
+
+
+def test_url_blocklist_filter(ray_session, sf_dir):
+    """Blocklist drop-path removes exactly the flagged domains; the
+    audit-path output matches the DuckDB twin."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from nxsearch_ray.stages.urlfilter import filter_blocklist
+
+    flagged = pa.concat_tables(
+        entrymod.q_url_blocklist(sf_dir).iter_batches(
+            batch_format="pyarrow")).sort_by("page_id")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    sql = con.execute(entrymod.oracle_sql()["url_blocklist"]) \
+        .arrow().sort_by("page_id")
+    assert flagged.column("blocked").to_pylist() == \
+        sql.column("blocked").to_pylist()
+    n_blocked = sum(flagged.column("blocked").to_pylist())
+    assert 0 < n_blocked < flagged.num_rows   # list really splits
+
+    ds = entrymod._pages(sf_dir, include_html=False) \
+        .select_columns(["page_id", "url"])
+    kept = pa.concat_tables(
+        filter_blocklist(ds, entrymod._BLOCKLIST)
+        .iter_batches(batch_format="pyarrow"))
+    assert kept.num_rows == flagged.num_rows - n_blocked
+    assert not any(kept.column("blocked").to_pylist())
