@@ -7,9 +7,9 @@ needs one: PPM (P6) / PGM (P5) are netpbm headers + raw bytes,
 (W3C spec) is zlib-compressed filtered scanlines — stdlib ``zlib``
 plus numpy covers decode end-to-end (8- and 16-bit depth, color
 types 0/2/3/4/6, non-interlaced AND Adam7) —
-and baseline sequential JPEG is implemented from ITU-T T.81 in
-`functions/jpegcodec.py` (Huffman + IDCT in numpy; progressive and
-arithmetic coding raise ValueError).  WebP/AVIF/... still require a
+and JPEG — baseline sequential AND progressive (SOF2) — is
+implemented from ITU-T T.81 in `functions/jpegcodec.py` (Huffman +
+IDCT in numpy; arithmetic coding raises ValueError).  WebP/AVIF/... still require a
 codec library and keep the stub behavior (`decode_image` returns
 None → caller raises or falls back).
 
@@ -248,7 +248,7 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def decode_image(buf: bytes) -> np.ndarray | None:
-    """(H, W, C) uint8 for PPM/PGM/BMP/PNG/baseline-JPEG, else None
+    """(H, W, C) uint8 for PPM/PGM/BMP/PNG/JPEG, else None
     (unknown magic — a format needing a codec library, e.g. WebP).
     Malformed payloads of a SUPPORTED format raise ValueError."""
     if len(buf) >= 2 and buf[:2] in (b"P6", b"P5"):

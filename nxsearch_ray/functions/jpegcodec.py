@@ -1,4 +1,4 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81, public spec).
+"""Pure-numpy JPEG codec — baseline and progressive (ITU-T T.81).
 
 Decode: marker parse (DQT/SOF0/DHT/DRI/SOS), Huffman entropy decode
 with byte-unstuffing and restart-marker handling, dequantize,
@@ -11,9 +11,10 @@ decoder reads every table from the stream, so the two sides are
 self-consistent by construction and the decoder works for any
 baseline stream, not just ours.
 
-Only baseline sequential 8-bit (SOF0) is implemented; progressive
-(SOF2), arithmetic coding and 12-bit raise ValueError with the
-marker name, mirroring how the uncompressed codecs reject what they
+Baseline sequential (SOF0) AND progressive (SOF2, spec Annex G:
+spectral selection + successive approximation, DC/AC first and
+refinement scans, EOB-run coding) are implemented at 8-bit;
+arithmetic coding and 12-bit raise ValueError with the marker name, mirroring how the uncompressed codecs reject what they
 can't parse.  Entropy decoding is a per-symbol Python loop — the
 irreducible part of Huffman streams — while all block math (DCT,
 quantization, color transform, up/downsampling) is vectorized over
@@ -26,7 +27,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_progressive"]
 
 # ------------------------------------------------------------------
 # shared constants
@@ -207,7 +208,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     raise ValueError(
                         f"sampling factor {c['hs']}x{c['vs']} "
                         "unsupported")
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif m == 0xC2:                     # SOF2 progressive
+            return _decode_progressive(buf)
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                    0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"non-baseline JPEG (SOF marker 0x{m:02X}) unsupported")
@@ -289,12 +292,250 @@ def _decode_scan(buf, pos, h, w, comps, scan, qt, huff_dc, huff_ac,
         if mcu < nmcu:
             raise ValueError("truncated JPEG scan") from exc
 
+    return _finish_planes(comps, qt, h, w, hmax, vmax)
+
+
+def _decode_progressive(buf: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2, spec §G): coefficients accumulate over
+    multiple scans — DC first/refine (interleaved), AC band
+    first/refine (single-component, spectral selection + successive
+    approximation) — then one shared dequant/IDCT tail."""
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    hmax = vmax = 1
+    dri = 0
+    n = len(buf)
+    while pos < n:
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        m = buf[pos + 1]
+        pos += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", buf[pos:pos + 2])
+        seg = buf[pos + 2:pos + seglen]
+        if len(seg) < seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if m == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = np.frombuffer(
+                    seg, dtype=np.uint8, count=64, offset=i + 1) \
+                    .astype(np.float64)
+                i += 65
+        elif m == 0xC2:
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), \
+                seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = [{"id": seg[6 + 3 * i],
+                      "hs": seg[7 + 3 * i] >> 4,
+                      "vs": seg[7 + 3 * i] & 15,
+                      "tq": seg[8 + 3 * i]} for i in range(nc)]
+            for c in comps:
+                if c["hs"] not in (1, 2) or c["vs"] not in (1, 2):
+                    raise ValueError(
+                        f"sampling factor {c['hs']}x{c['vs']} "
+                        "unsupported")
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["hs"]
+                c["bh"] = mcuy * c["vs"]
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64),
+                                     dtype=np.int64)
+                # non-interleaved scan grid (true component dims)
+                c["nbw"] = -(-(-(-w * c["hs"] // hmax)) // 8)
+                c["nbh"] = -(-(-(-h * c["vs"] // vmax)) // 8)
+                c["mcux"], c["mcuy"] = mcux, mcuy
+        elif m == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nv])
+                _, dec = _build_huffman(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                i += 17 + nv
+        elif m == 0xDD:
+            (dri,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF2")
+            ns = seg[0]
+            scomps = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4,
+                       seg[2 + 2 * i] & 15) for i in range(ns)]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            pos = _progressive_scan(
+                buf, pos + seglen, comps, scomps, ss, se, ah, al,
+                huff_dc, huff_ac, dri)
+            continue
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                   0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed SOF markers in one stream")
+        pos += seglen
+    if not comps:
+        raise ValueError("progressive JPEG missing SOF2")
+    return _finish_planes(comps, qt, h, w, hmax, vmax)
+
+
+def _progressive_scan(buf, pos, comps, scomps, ss, se, ah, al,
+                      huff_dc, huff_ac, dri) -> int:
+    """Decode one progressive scan into the components' coefficient
+    arrays; returns the byte position of the next marker."""
+    rd = _BitReader(buf, pos)
+    by_id = {c["id"]: c for c in comps}
+    if ss == 0:                               # DC scan (interleaved)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        sel = [by_id[cid] for cid, *_ in scomps]
+        tdc = {cid: td for cid, td, _ in scomps}
+        for c in sel:
+            c["pred"] = 0
+        single = len(sel) == 1
+        if single:
+            c = sel[0]
+            nmcu = c["nbw"] * c["nbh"]
+        else:
+            nmcu = sel[0]["mcux"] * sel[0]["mcuy"]
+        mcu = 0
+        try:
+            while mcu < nmcu:
+                if dri and mcu and mcu % dri == 0:
+                    rd.restart()
+                    for c in sel:
+                        c["pred"] = 0
+                if single:
+                    c = sel[0]
+                    row, col = divmod(mcu, c["nbw"])
+                    blocks = [(c, row * c["bw"] + col)]
+                else:
+                    my, mx = divmod(mcu, sel[0]["mcux"])
+                    blocks = [
+                        (c, (my * c["vs"] + by) * c["bw"]
+                         + mx * c["hs"] + bx)
+                        for c in sel
+                        for by in range(c["vs"])
+                        for bx in range(c["hs"])]
+                for c, bi in blocks:
+                    if ah == 0:
+                        s = rd.huff(huff_dc[tdc[c["id"]]])
+                        diff = _extend(rd.bits(s), s) if s else 0
+                        c["pred"] += diff
+                        c["coef"][bi, 0] = c["pred"] << al
+                    else:
+                        if rd.bits(1):
+                            c["coef"][bi, 0] |= (1 << al)
+                mcu += 1
+        except (_EndOfScan, IndexError) as exc:
+            raise ValueError("truncated progressive DC scan") from exc
+        return rd.pos
+
+    # AC scan: single component, non-interleaved block raster
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, _, ta = scomps[0]
+    c = by_id[cid]
+    ac = huff_ac[ta]
+    nblk = c["nbw"] * c["nbh"]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    try:
+        for blk in range(nblk):
+            if dri and blk and blk % dri == 0:
+                rd.restart()
+                eobrun = 0
+            row, col = divmod(blk, c["nbw"])
+            coef = c["coef"][row * c["bw"] + col]
+            if ah == 0:                       # first pass for the band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = rd.huff(ac)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rd.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC coefficient overrun")
+                    coef[k] = _extend(rd.bits(s), s) << al
+                    k += 1
+            else:                             # refinement pass
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = rd.huff(ac)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += rd.bits(r)
+                                break
+                            val = 0           # ZRL: 16 zero-history
+                        elif s == 1:
+                            val = p1 if rd.bits(1) else m1
+                        else:
+                            raise ValueError(
+                                "invalid refinement magnitude")
+                        # advance over r zero-history coefficients,
+                        # correcting nonzero-history ones on the way
+                        while k <= se:
+                            if coef[k] != 0:
+                                if rd.bits(1) and not (coef[k] & p1):
+                                    coef[k] += p1 if coef[k] > 0 \
+                                        else m1
+                            else:
+                                if r == 0:
+                                    if val:
+                                        coef[k] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if coef[k] != 0:
+                            if rd.bits(1) and not (coef[k] & p1):
+                                coef[k] += p1 if coef[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+    except (_EndOfScan, IndexError) as exc:
+        raise ValueError("truncated progressive AC scan") from exc
+    return rd.pos
+
+
+def _finish_planes(comps, qt, h, w, hmax, vmax) -> np.ndarray:
+    """Shared decode tail: dequantize (zigzag space), IDCT, chroma
+    upsample, color transform."""
     planes = []
     for c in comps:
         # coef rows and the DQT payload are both in zigzag order:
         # dequantize there, then gather natural order
         q = qt[c["tq"]]
-        blocks = (c["coef"] * q)[:, _UNZIGZAG].reshape(-1, 8, 8)
+        blocks = (np.asarray(c["coef"], dtype=np.float64)
+                  * q)[:, _UNZIGZAG].reshape(-1, 8, 8)
         # IDCT: D.T @ B @ D, batched
         px = np.einsum("ij,njk,kl->nil", _DCT.T, blocks, _DCT)
         px = np.clip(np.round(px + 128), 0, 255)
@@ -357,6 +598,18 @@ _AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+# Flat (equal-length) Huffman tables for the progressive encoder:
+# grossly suboptimal for size, trivially valid (complete prefix code,
+# all-ones codeword unused), and they cover every (run, size) symbol
+# including the EOBn codes 0x10..0xE0 that Annex K's baseline tables
+# lack.  The decoder reads tables from DHT, so it still exercises the
+# general path.
+_FLAT_DC = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+            list(range(16)))
+_FLAT_AC = ([0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0],
+            list(range(256)))
 
 
 class _BitWriter:
@@ -438,6 +691,220 @@ def _encode_blocks(wr, coefs, order, dc_enc, ac_enc, preds, ci):
         if last < 63:
             code, ln = ac_enc[0x00]
             wr.bits(code, ln)
+
+
+def _emit_ac_first(wr, blocks, ac_enc, ss, se, al) -> None:
+    """AC first pass (spec §G.1.2.2): band coefficients point-
+    transformed toward zero, zero runs + EOB-run coding."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_enc[r << 4]
+            wr.bits(code, ln)
+            if r:
+                wr.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for blk in blocks:
+        v = [(abs(int(x)) >> al) * (1 if x >= 0 else -1)
+             for x in blk[ss:se + 1]]
+        nz = [i for i, x in enumerate(v) if x]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        r = 0
+        for i in range(nz[-1] + 1):
+            x = v[i]
+            if x == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac_enc[0xF0]
+                wr.bits(code, ln)
+                r -= 16
+            s = _category(x)
+            code, ln = ac_enc[(r << 4) | s]
+            wr.bits(code, ln)
+            wr.bits(x if x >= 0 else x + (1 << s) - 1, s)
+            r = 0
+        if nz[-1] < len(v) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _emit_ac_refine(wr, blocks, ac_enc, ss, se, al) -> None:
+    """AC refinement pass (spec §G.1.2.3 / figure G.7): newly-
+    significant coefficients as (run,1)+sign, correction bits for
+    already-significant ones buffered per the two-buffer discipline
+    (BE rides with the pending EOB run, BR with the current symbol)."""
+    eobrun = 0
+    be: list[int] = []
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun, be
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_enc[r << 4]
+            wr.bits(code, ln)
+            if r:
+                wr.bits(eobrun - (1 << r), r)
+            for b in be:
+                wr.bits(b, 1)
+            eobrun = 0
+            be = []
+
+    for blk in blocks:
+        band = [int(x) for x in blk[ss:se + 1]]
+        amp = [abs(x) >> al for x in band]
+        sig_new = [i for i, a in enumerate(amp) if a == 1
+                   and (a >> 1) == 0 and abs(band[i]) >> (al + 1) == 0]
+        eob = sig_new[-1] if sig_new else -1
+        r = 0
+        br: list[int] = []
+        for k, x in enumerate(band):
+            a = amp[k]
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eobrun()
+                code, ln = ac_enc[0xF0]
+                wr.bits(code, ln)
+                r -= 16
+                for b in br:
+                    wr.bits(b, 1)
+                br = []
+            if a > 1:                    # already significant
+                br.append(a & 1)
+                continue
+            flush_eobrun()
+            code, ln = ac_enc[(r << 4) | 1]
+            wr.bits(code, ln)
+            wr.bits(1 if x > 0 else 0, 1)
+            for b in br:
+                wr.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 85
+                            ) -> bytes:
+    """(H, W, {1,3}) or (H, W) uint8 → progressive JPEG (SOF2):
+    4:4:4, scan script DC(Al=1) → per-component AC 1-63 (Al=1) →
+    DC refine → per-component AC refine.  Same quantized
+    coefficients as the baseline encoder at the same quality, so
+    decode output is bit-identical to the baseline stream's."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg_progressive expects 1 or 3 "
+                         "channels")
+    gray = nc == 1
+
+    a = arr.astype(np.float64)
+    if gray:
+        planes = [a[:, :, 0]]
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128]
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+
+    def pad(p):
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                      mode="edge")
+
+    qly = _scaled_qt(_QT_LUMA, quality)
+    qlc = _scaled_qt(_QT_CHROMA, quality)
+    coefs = [_fdct_quant(pad(planes[0]), qly)] + \
+        [_fdct_quant(pad(p), qlc) for p in planes[1:]]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker,
+                               len(payload) + 2) + payload)
+
+    for tq, q in ((0, qly), (1, qlc))[:1 if gray else 2]:
+        seg(0xDB, bytes([tq]) + bytes(
+            q.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    comps = b"".join(bytes([i + 1, 0x11, 0 if i == 0 else 1])
+                     for i in range(1 if gray else 3))
+    seg(0xC2, struct.pack(">BHHB", 8, h, w, 1 if gray else 3) + comps)
+    seg(0xC4, bytes([0x00]) + bytes(_FLAT_DC[0]) + bytes(_FLAT_DC[1]))
+    seg(0xC4, bytes([0x10]) + bytes(_FLAT_AC[0]) + bytes(_FLAT_AC[1]))
+    dc_enc, _ = _build_huffman(*_FLAT_DC)
+    ac_enc, _ = _build_huffman(*_FLAT_AC)
+
+    ncomp = 1 if gray else 3
+    all_ids = list(range(1, ncomp + 1))
+
+    def sos(comp_ids, ss, se, ah, al) -> None:
+        payload = bytes([len(comp_ids)]) + b"".join(
+            bytes([cid, 0x00]) for cid in comp_ids) + \
+            bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, payload)
+
+    nblocks = (ph // 8) * (pw // 8)
+
+    # scan 1: DC first, Al=1, interleaved
+    sos(all_ids, 0, 0, 0, 1)
+    wr = _BitWriter()
+    preds = [0] * ncomp
+    for i in range(nblocks):
+        for ci in range(ncomp):
+            v = int(coefs[ci][i][0]) >> 1
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = _category(diff)
+            code, ln = dc_enc[s]
+            wr.bits(code, ln)
+            if s:
+                wr.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out.extend(wr.flush())
+
+    # scans 2..: AC first per component, band 1-63, Al=1
+    for ci in range(ncomp):
+        sos([ci + 1], 1, 63, 0, 1)
+        wr = _BitWriter()
+        _emit_ac_first(wr, coefs[ci], ac_enc, 1, 63, 1)
+        out.extend(wr.flush())
+
+    # DC refinement: one raw bit per block per component
+    sos(all_ids, 0, 0, 1, 0)
+    wr = _BitWriter()
+    for i in range(nblocks):
+        for ci in range(ncomp):
+            wr.bits(int(coefs[ci][i][0]) & 1, 1)
+    out.extend(wr.flush())
+
+    # AC refinement per component
+    for ci in range(ncomp):
+        sos([ci + 1], 1, 63, 1, 0)
+        wr = _BitWriter()
+        _emit_ac_refine(wr, coefs[ci], ac_enc, 1, 63, 0)
+        out.extend(wr.flush())
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 def encode_jpeg(arr: np.ndarray, *, quality: int = 85,

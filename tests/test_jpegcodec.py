@@ -94,7 +94,7 @@ def test_rejects_non_baseline_and_malformed():
     img = _smooth(16, 16)
     buf = bytearray(encode_jpeg(img))
     sof = buf.find(b"\xff\xc0")
-    buf[sof + 1] = 0xC2            # pretend progressive
+    buf[sof + 1] = 0xC1            # extended sequential: unsupported
     with pytest.raises(ValueError, match="non-baseline"):
         decode_jpeg(bytes(buf))
     with pytest.raises(ValueError, match="SOI"):
@@ -231,3 +231,66 @@ def test_wav_compressed_feature_stage():
     row = out.to_pylist()[0]
     assert row["sample_rate"] == 8000
     assert abs(row["features"][0] - 0.5 / np.sqrt(2)) < 0.02  # RMS
+
+
+@pytest.mark.parametrize("quality", [50, 85, 95])
+def test_progressive_bit_exact_vs_baseline(quality):
+    """Progressive (SOF2) re-encodes the SAME quantized coefficients
+    as baseline, so decode must be BIT-IDENTICAL — this gates every
+    scan type (DC first/refine, AC first with EOB runs and ZRL, AC
+    refinement with correction bits) at once."""
+    from nxsearch_ray.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    img = _smooth(41, 23)
+    base = decode_jpeg(encode_jpeg(img, quality=quality))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_gray_and_noise_bit_exact():
+    """Noise maximizes nonzero AC coefficients — the refinement
+    pass's hardest input; grayscale covers the 1-component scans."""
+    from nxsearch_ray.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    g = _smooth(24, 17, c=1)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g)),
+        decode_jpeg(encode_jpeg_progressive(g)))
+    n = np.random.default_rng(7).integers(
+        0, 256, (17, 19, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(n, quality=95)),
+        decode_jpeg(encode_jpeg_progressive(n, quality=95)))
+
+
+def test_progressive_flows_through_image_stage():
+    import pyarrow as pa
+
+    from nxsearch_ray.functions.imagecodec import decode_image
+    from nxsearch_ray.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+    from nxsearch_ray.stages.multimodal import ImageFeatureActor
+
+    img = _smooth(32, 32)
+    payload = encode_jpeg_progressive(img)
+    assert decode_image(payload).shape == img.shape
+    actor = ImageFeatureActor(deterministic_fake=False)
+    out = actor(pa.table({"page_id": pa.array([1], type=pa.int64()),
+                          "payload": [payload]}))
+    assert out.to_pylist()[0]["width"] == 32
+
+
+def test_progressive_truncated_scan_rejected():
+    from nxsearch_ray.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    buf = encode_jpeg_progressive(_smooth(16, 16))
+    with pytest.raises(ValueError,
+                       match="truncated progressive|truncated JPEG"):
+        decode_jpeg(buf[:len(buf) // 2] + b"\xff\xd9")
