@@ -714,6 +714,56 @@ def q_image_features(sf_dir: str):
     return out.select_columns(["page_id", "channels", "payload_bytes"])
 
 
+def q_image_features_real(sf_dir: str):
+    """REAL-decode multimodal oracle: deterministic solid-color PNG
+    payloads (colors derived from page_id, fixed 16×8) decode through
+    the actual codec + feature stage, and every output — dims,
+    channel means, stds (0 for solids), Rec.601 luma, aspect ratio —
+    is analytically predicted by the SQL twin, including the float32
+    rounding (DuckDB REAL cast reproduces numpy's)."""
+    from nxsearch_ray.functions.imagecodec import encode_png
+    from nxsearch_ray.stages.multimodal import image_features_stage
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t.column("page_id").to_numpy()
+        payloads = []
+        for pid in ids:
+            img = np.empty((8, 16, 3), dtype=np.uint8)
+            img[:, :] = (pid % 256, (pid * 3) % 256, (pid * 7) % 256)
+            payloads.append(encode_png(img))
+        return pa.table({
+            "page_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary())})
+
+    ds = _pages(sf_dir, include_html=False) \
+        .select_columns(["page_id"]) \
+        .map_batches(build, batch_format="pyarrow")
+    out = image_features_stage(ds, deterministic_fake=False)
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        feats = t.column("features")
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        cols = {
+            "page_id": t.column("page_id"),
+            "width": t.column("width").cast(pa.int64()),
+            "height": t.column("height").cast(pa.int64()),
+            "channels": t.column("channels").cast(pa.int64()),
+        }
+        flat = feats.values.to_numpy(zero_copy_only=False) \
+            .reshape(len(t), -1)
+        for i in range(flat.shape[1]):
+            # float32 -> float64 is exact; the SQL twin casts through
+            # REAL to land on the same values
+            cols[f"f{i}"] = pa.array(flat[:, i].astype(np.float64),
+                                     type=pa.float64())
+        return pa.table(cols)
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_audio_features(sf_dir: str):
     from nxsearch_ray.stages.multimodal import audio_features_stage
 
@@ -1001,6 +1051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize_plain": q_canonicalize_plain,
         "langid": q_langid,
         "image_features": q_image_features,
+        "image_features_real": q_image_features_real,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "embedding_dups": q_embedding_dups,
@@ -1164,6 +1215,25 @@ WHERE n_common > 0
   AND n_common::DOUBLE / (size_a + size_b - n_common) >= 0.5
 """,
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "image_features_real": f"""
+WITH {PAGES_CTE},
+cc AS (SELECT page_id,
+              (page_id % 256) AS r,
+              ((page_id * 3) % 256) AS g,
+              ((page_id * 7) % 256) AS b
+       FROM pages)
+SELECT page_id,
+       CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(CAST(r / 255.0 AS REAL) AS DOUBLE) AS f0,
+       CAST(CAST(g / 255.0 AS REAL) AS DOUBLE) AS f1,
+       CAST(CAST(b / 255.0 AS REAL) AS DOUBLE) AS f2,
+       0.0 AS f3, 0.0 AS f4, 0.0 AS f5,
+       CAST(CAST(0.299 * (r / 255.0) + 0.587 * (g / 255.0)
+                 + 0.114 * (b / 255.0) AS REAL) AS DOUBLE) AS f6,
+       2.0 AS f7
+FROM cc
+""",
         "image_features": f"""
 WITH {PAGES_CTE}
 SELECT page_id, 3 AS channels,
