@@ -695,7 +695,9 @@ def _encode_blocks(wr, coefs, order, dc_enc, ac_enc, preds, ci):
 
 def _emit_ac_first(wr, blocks, ac_enc, ss, se, al) -> None:
     """AC first pass (spec §G.1.2.2): band coefficients point-
-    transformed toward zero, zero runs + EOB-run coding."""
+    transformed toward zero, zero runs + EOB-run coding.
+    ``blocks`` is any iterable of 64-coefficient rows in the scan's
+    block order."""
     eobrun = 0
 
     def flush() -> None:
@@ -801,13 +803,14 @@ def _emit_ac_refine(wr, blocks, ac_enc, ss, se, al) -> None:
     flush_eobrun()
 
 
-def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 85
-                            ) -> bytes:
+def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 85,
+                            subsample: bool = False) -> bytes:
     """(H, W, {1,3}) or (H, W) uint8 → progressive JPEG (SOF2):
-    4:4:4, scan script DC(Al=1) → per-component AC 1-63 (Al=1) →
-    DC refine → per-component AC refine.  Same quantized
-    coefficients as the baseline encoder at the same quality, so
-    decode output is bit-identical to the baseline stream's."""
+    4:4:4 or 4:2:0, scan script DC(Al=1) → per-component AC 1-63
+    (Al=1) → DC refine → per-component AC refine.  Same quantized
+    coefficients as the baseline encoder at the same quality and
+    subsampling, so decode output is bit-identical to the baseline
+    stream's."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -816,6 +819,7 @@ def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 85
         raise ValueError("encode_jpeg_progressive expects 1 or 3 "
                          "channels")
     gray = nc == 1
+    sub = 2 if (subsample and not gray) else 1
 
     a = arr.astype(np.float64)
     if gray:
@@ -826,16 +830,24 @@ def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 85
                   -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
                   0.5 * r - 0.418688 * g - 0.081312 * b + 128]
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    align = 8 * sub
+    ph, pw = -(-h // align) * align, -(-w // align) * align
 
     def pad(p):
         return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
                       mode="edge")
 
+    planes[0] = pad(planes[0])
+    for i in range(1, len(planes)):
+        p = pad(planes[i])
+        if sub == 2:
+            p = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes[i] = p
+
     qly = _scaled_qt(_QT_LUMA, quality)
     qlc = _scaled_qt(_QT_CHROMA, quality)
-    coefs = [_fdct_quant(pad(planes[0]), qly)] + \
-        [_fdct_quant(pad(p), qlc) for p in planes[1:]]
+    coefs = [_fdct_quant(planes[0], qly)] + \
+        [_fdct_quant(p, qlc) for p in planes[1:]]
 
     out = bytearray(b"\xff\xd8")
 
@@ -846,8 +858,10 @@ def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 85
     for tq, q in ((0, qly), (1, qlc))[:1 if gray else 2]:
         seg(0xDB, bytes([tq]) + bytes(
             q.reshape(-1)[_ZIGZAG].astype(np.uint8)))
-    comps = b"".join(bytes([i + 1, 0x11, 0 if i == 0 else 1])
-                     for i in range(1 if gray else 3))
+    comps = b"".join(
+        bytes([i + 1, (sub << 4 | sub) if i == 0 and sub == 2
+               else 0x11, 0 if i == 0 else 1])
+        for i in range(1 if gray else 3))
     seg(0xC2, struct.pack(">BHHB", 8, h, w, 1 if gray else 3) + comps)
     seg(0xC4, bytes([0x00]) + bytes(_FLAT_DC[0]) + bytes(_FLAT_DC[1]))
     seg(0xC4, bytes([0x10]) + bytes(_FLAT_AC[0]) + bytes(_FLAT_AC[1]))
@@ -863,15 +877,41 @@ def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 85
             bytes([ss, se, (ah << 4) | al])
         seg(0xDA, payload)
 
-    nblocks = (ph // 8) * (pw // 8)
+    # per-component block geometry: padded (MCU) grid for DC scans,
+    # TRUE grid (ceil of component sample dims / 8) for AC scans
+    ybw = pw // 8
+    cbw = pw // (8 * sub)
+    mcux, mcuy = pw // (8 * sub), ph // (8 * sub)
 
-    # scan 1: DC first, Al=1, interleaved
+    def mcu_blocks(i):
+        """(ci, block_index) sequence of MCU i, interleaved order."""
+        my, mx = divmod(i, mcux)
+        if sub == 2:
+            for by in range(2):
+                for bx in range(2):
+                    yield 0, (my * 2 + by) * ybw + (mx * 2 + bx)
+        else:
+            yield 0, my * ybw + mx
+        for ci in range(1, ncomp):
+            yield ci, my * cbw + mx
+
+    def true_grid(ci):
+        """Block rows of component ci's TRUE (non-interleaved) grid."""
+        if ci == 0:
+            nbw, nbh, stride = -(-w // 8), -(-h // 8), ybw
+        else:
+            cw, chh = -(-w // sub), -(-h // sub)
+            nbw, nbh, stride = -(-cw // 8), -(-chh // 8), cbw
+        return [coefs[ci][r * stride + c]
+                for r in range(nbh) for c in range(nbw)]
+
+    # scan 1: DC first, Al=1, interleaved MCU order
     sos(all_ids, 0, 0, 0, 1)
     wr = _BitWriter()
     preds = [0] * ncomp
-    for i in range(nblocks):
-        for ci in range(ncomp):
-            v = int(coefs[ci][i][0]) >> 1
+    for i in range(mcux * mcuy):
+        for ci, bi in mcu_blocks(i):
+            v = int(coefs[ci][bi][0]) >> 1
             diff = v - preds[ci]
             preds[ci] = v
             s = _category(diff)
@@ -881,26 +921,26 @@ def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 85
                 wr.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
     out.extend(wr.flush())
 
-    # scans 2..: AC first per component, band 1-63, Al=1
+    # scans 2..: AC first per component, band 1-63, Al=1 (true grid)
     for ci in range(ncomp):
         sos([ci + 1], 1, 63, 0, 1)
         wr = _BitWriter()
-        _emit_ac_first(wr, coefs[ci], ac_enc, 1, 63, 1)
+        _emit_ac_first(wr, true_grid(ci), ac_enc, 1, 63, 1)
         out.extend(wr.flush())
 
-    # DC refinement: one raw bit per block per component
+    # DC refinement: one raw bit per block, interleaved MCU order
     sos(all_ids, 0, 0, 1, 0)
     wr = _BitWriter()
-    for i in range(nblocks):
-        for ci in range(ncomp):
-            wr.bits(int(coefs[ci][i][0]) & 1, 1)
+    for i in range(mcux * mcuy):
+        for ci, bi in mcu_blocks(i):
+            wr.bits(int(coefs[ci][bi][0]) & 1, 1)
     out.extend(wr.flush())
 
-    # AC refinement per component
+    # AC refinement per component (true grid)
     for ci in range(ncomp):
         sos([ci + 1], 1, 63, 1, 0)
         wr = _BitWriter()
-        _emit_ac_refine(wr, coefs[ci], ac_enc, 1, 63, 0)
+        _emit_ac_refine(wr, true_grid(ci), ac_enc, 1, 63, 0)
         out.extend(wr.flush())
 
     out.extend(b"\xff\xd9")

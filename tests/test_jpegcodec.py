@@ -294,3 +294,26 @@ def test_progressive_truncated_scan_rejected():
     with pytest.raises(ValueError,
                        match="truncated progressive|truncated JPEG"):
         decode_jpeg(buf[:len(buf) // 2] + b"\xff\xd9")
+
+
+@pytest.mark.parametrize("dims", [(41, 23), (20, 20), (16, 16)])
+def test_progressive_420_bit_exact(dims):
+    """4:2:0 progressive — the dominant real-world configuration.
+    The (20, 20) case makes the component's TRUE non-interleaved
+    block grid (3x3 luma) smaller than the MCU-padded grid (4x4),
+    pinning the scan-geometry mapping."""
+    from nxsearch_ray.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    h, w = dims
+    img = _smooth(h, w)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, subsample=True)),
+        decode_jpeg(encode_jpeg_progressive(img, subsample=True)))
+    n = np.random.default_rng(h * w).integers(
+        0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(n, quality=95, subsample=True)),
+        decode_jpeg(encode_jpeg_progressive(n, quality=95,
+                                            subsample=True)))
