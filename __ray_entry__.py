@@ -169,6 +169,49 @@ def q_url_blocklist(sf_dir: str):
         .select_columns(["page_id", "domain", "blocked"])
 
 
+def q_web_clean(sf_dir: str):
+    """The composed cleaning pipeline a training-data run actually
+    executes, as ONE dataflow: domain blocklist (drop) → Gopher
+    quality gate → PII injection+scrub → exact dedup by scrubbed
+    text (canonical = min page_id).  Every stage is the same code
+    the standalone queries use; the single SQL twin composes their
+    fragments, so this row breaks if any stage OR the composition
+    order drifts."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from nxsearch_ray.stages.pii import inject_pii, scrub_pii
+    from nxsearch_ray.stages.textstats import gopher_filter
+    from nxsearch_ray.stages.urlfilter import filter_blocklist
+
+    ds = _pages(sf_dir, include_html=False) \
+        .select_columns(["page_id", "url", "text"])
+    ds = filter_blocklist(ds, _BLOCKLIST)
+
+    def quality_and_scrub(t: pa.Table) -> pa.Table:
+        t = gopher_filter(t, min_words=20, min_required_stopwords=1)
+        t = t.filter(t.column("keep"))
+        t = scrub_pii(inject_pii(t.select(["page_id", "text"])))
+        md5s = [hashlib.md5(x.encode()).hexdigest()
+                for x in t.column("clean_text").to_pylist()]
+        return pa.table({
+            "page_id": t.column("page_id"),
+            "text_md5": pa.array(md5s, type=pa.string()),
+            "n_email": t.column("n_email")})
+
+    keyed = ds.map_batches(quality_and_scrub, batch_format="pyarrow")
+    agg = keyed.groupby("text_md5").aggregate(
+        _RAY_AGG.Count(), _RAY_AGG.Min("page_id"),
+        _RAY_AGG.Sum("n_email"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["text_md5", "n_pages", "canonical_page_id", "n_email"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-rules document filter (Rae et al. 2021 A1) over
     documents: rule columns + keep decision, all vectorized RE2
@@ -1032,6 +1075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "gopher_quality": q_gopher_quality,
         "url_blocklist": q_url_blocklist,
+        "web_clean": q_web_clean,
         "lang_counts": q_lang_counts,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,
@@ -1066,6 +1110,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q_domain_stats,
         "url_latest": q_url_latest,
     }
+
+
+def web_clean_oracle() -> str:
+    from nxsearch_ray.stages.pii import pii_inject_sql, pii_select_sql
+    from nxsearch_ray.stages.textstats import gopher_filter_sql
+    from nxsearch_ray.stages.urlfilter import DOMAIN_RE
+
+    keep = gopher_filter_sql("text", min_words=20,
+                             min_required_stopwords=1)["keep"]
+    quoted = ", ".join(f"'{d}'" for d in sorted(set(_BLOCKLIST)))
+    return f"""
+WITH {PAGES_CTE},
+flt AS (SELECT page_id, text FROM pages
+        WHERE lower(coalesce(regexp_extract(url, '{DOMAIN_RE}', 1),
+                             '')) NOT IN ({quoted})),
+qual AS (SELECT page_id, text FROM flt WHERE {keep}),
+inj AS (SELECT page_id,
+               {pii_inject_sql('text', 'page_id')} AS text
+        FROM qual),
+scr AS (SELECT page_id, {pii_select_sql('text')} FROM inj)
+SELECT md5(clean_text) AS text_md5,
+       count(*) AS n_pages,
+       min(page_id) AS canonical_page_id,
+       sum(n_email)::BIGINT AS n_email
+FROM scr GROUP BY md5(clean_text)
+"""
 
 
 def pii_scrub_oracle() -> str:
@@ -1187,6 +1257,7 @@ FROM m
         "pii_scrub": pii_scrub_oracle(),
         "decontaminate": decontaminate_sql(n=5, benchmark_mod=97),
         "url_blocklist": blocklist_sql(_BLOCKLIST, PAGES_CTE),
+        "web_clean": web_clean_oracle(),
         "gopher_quality": (
             "SELECT doc_id, "
             + ", ".join(f"{expr} AS {name}" for name, expr in

@@ -152,7 +152,7 @@ def run_benchmarks() -> dict:
                  "pack_sequences", "sessionize", "ann_topk",
                  "ann_topk_ivf", "bm25_topk", "topk_events",
                  "pii_scrub", "decontaminate", "gopher_quality",
-                 "url_blocklist"):
+                 "url_blocklist", "web_clean"):
         def runq(name=name):
             out = qs[name](SF_DIR)
             if hasattr(out, "materialize"):

@@ -42,7 +42,7 @@ def test_expected_query_inventory():
         "dedup_exact_verify", "signatures_plain",
         "ann_lsh_recall", "ann_ivf_recall", "ann_recall_report",
         "pii_scrub", "decontaminate", "gopher_quality", "url_blocklist",
-        "image_features_real",
+        "image_features_real", "web_clean",
     }
     missing = expected - q
     assert not missing, f"queries() lost entries: {missing}"

@@ -224,3 +224,33 @@ def test_url_blocklist_filter(ray_session, sf_dir):
         .iter_batches(batch_format="pyarrow"))
     assert kept.num_rows == flagged.num_rows - n_blocked
     assert not any(kept.column("blocked").to_pylist())
+
+
+def test_web_clean_composition(ray_session, sf_dir):
+    """The composed cleaning pipeline: blocked domains and
+    low-quality pages are gone, duplicates collapsed, every kept
+    page carries its injected email count."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    out = pa.concat_tables(
+        entrymod.q_web_clean(sf_dir).iter_batches(
+            batch_format="pyarrow")).sort_by("text_md5")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    sql = con.execute(entrymod.oracle_sql()["web_clean"]).arrow() \
+        .sort_by("text_md5")
+    for col in ("text_md5", "n_pages", "canonical_page_id",
+                "n_email"):
+        assert out.column(col).to_pylist() == \
+            sql.column(col).to_pylist(), col
+    # the pipeline genuinely filtered AND deduplicated
+    n_pages_in = 618 if "0.001" in sf_dir or "0.01" in sf_dir else None
+    total_kept = sum(out.column("n_pages").to_pylist())
+    if n_pages_in:
+        assert 0 < total_kept < n_pages_in
+    assert out.num_rows < total_kept or \
+        all(n == 1 for n in out.column("n_pages").to_pylist())
+    assert all(n >= 1 for n in out.column("n_email").to_pylist())
