@@ -100,31 +100,37 @@ def q_extract_text(sf_dir: str):
 
 def q_exact_dedup(sf_dir: str):
     """Exact-duplicate groups by content hash: one row per distinct
-    text with ≥2 pages; canonical page = min page_id.  Native
-    count+min aggregation — no per-group Python.  (The md5 itself is
-    inherently per-row; hashlib's C digest over the encoded text is
-    the fastest kernel available without external deps.)"""
-    import hashlib
-
+    text with ≥2 pages; canonical page = min page_id.  The engine
+    groups by a vectorized 128-bit full-content hash straight off the
+    Arrow string buffers (functions/hashing.content_hash128 — no
+    per-row Python, no string materialization), then native count+min
+    aggregation.  The SQL twin groups by ``text`` itself, so the
+    comparable output carries no hash column: each group is identified
+    by its unique ``canonical_page_id``."""
     import pyarrow.compute as pc
 
-    def add_md5(t: pa.Table) -> pa.Table:
-        md5s = [hashlib.md5((x or "").encode()).hexdigest()
-                for x in t.column("text").to_pylist()]
-        return t.select(["page_id"]).append_column(
-            pa.field("text_md5", pa.string()),
-            pa.array(md5s, type=pa.string()))
+    from nxsearch_ray.functions.hashing import (content_hash128,
+                                                string_buffers)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        offs, data = string_buffers(t.column("text"))
+        h1, h2 = content_hash128(offs, data)
+        return pa.table({
+            "page_id": t.column("page_id"),
+            "h1": pa.array(h1, type=pa.int64()),
+            "h2": pa.array(h2, type=pa.int64())})
 
     keyed = _pages(sf_dir, include_html=False).map_batches(
-        add_md5, batch_format="pyarrow")
+        add_key, batch_format="pyarrow")
 
-    agg = keyed.groupby("text_md5").aggregate(
+    agg = keyed.groupby(["h1", "h2"]).aggregate(
         _RAY_AGG.Count(), _RAY_AGG.Min("page_id"))
 
     def finish(t: pa.Table) -> pa.Table:
-        t = t.rename_columns(["text_md5", "n_dups",
+        t = t.rename_columns(["h1", "h2", "n_dups",
                               "canonical_page_id"])
-        return t.filter(pc.greater_equal(t.column("n_dups"), 2))
+        t = t.filter(pc.greater_equal(t.column("n_dups"), 2))
+        return t.select(["canonical_page_id", "n_dups"])
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -177,10 +183,8 @@ def q_web_clean(sf_dir: str):
     the standalone queries use; the single SQL twin composes their
     fragments, so this row breaks if any stage OR the composition
     order drifts."""
-    import hashlib
-
-    import pyarrow.compute as pc
-
+    from nxsearch_ray.functions.hashing import (content_hash128,
+                                                string_buffers)
     from nxsearch_ray.stages.pii import inject_pii, scrub_pii
     from nxsearch_ray.stages.textstats import gopher_filter
     from nxsearch_ray.stages.urlfilter import filter_blocklist
@@ -193,21 +197,23 @@ def q_web_clean(sf_dir: str):
         t = gopher_filter(t, min_words=20, min_required_stopwords=1)
         t = t.filter(t.column("keep"))
         t = scrub_pii(inject_pii(t.select(["page_id", "text"])))
-        md5s = [hashlib.md5(x.encode()).hexdigest()
-                for x in t.column("clean_text").to_pylist()]
+        offs, data = string_buffers(t.column("clean_text"))
+        h1, h2 = content_hash128(offs, data)
         return pa.table({
             "page_id": t.column("page_id"),
-            "text_md5": pa.array(md5s, type=pa.string()),
+            "h1": pa.array(h1, type=pa.int64()),
+            "h2": pa.array(h2, type=pa.int64()),
             "n_email": t.column("n_email")})
 
     keyed = ds.map_batches(quality_and_scrub, batch_format="pyarrow")
-    agg = keyed.groupby("text_md5").aggregate(
+    agg = keyed.groupby(["h1", "h2"]).aggregate(
         _RAY_AGG.Count(), _RAY_AGG.Min("page_id"),
         _RAY_AGG.Sum("n_email"))
 
     def finish(t: pa.Table) -> pa.Table:
-        return t.rename_columns(
-            ["text_md5", "n_pages", "canonical_page_id", "n_email"])
+        t = t.rename_columns(["h1", "h2", "n_pages",
+                              "canonical_page_id", "n_email"])
+        return t.select(["canonical_page_id", "n_pages", "n_email"])
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -498,21 +504,26 @@ def q_cluster_sizes(sf_dir: str):
 def q_dedup_exact_verify(sf_dir: str):
     """DuckDB-checkable invariant over the flagship clusters output
     (the two most important tables are otherwise non-SQL-expressible):
-    every md5-identical page group — the planted ``copy`` variants,
-    derivable in SQL from PAGES_CTE — must be co-clustered
+    every content-identical page group — the planted ``copy``
+    variants, derivable in SQL from PAGES_CTE — must be co-clustered
     (``n_clusters`` = 1), and the pipeline's cluster ids are
     component-minimum page ids (``cluster_is_component_min``).  A
-    clustering regression breaks the value hash.
+    clustering regression breaks the value hash.  Groups are keyed by
+    the vectorized 128-bit content hash (content_hash128) and
+    identified in the output by their min page id, so the SQL twin
+    groups by ``text`` itself — no hash parity needed and no per-row
+    Python anywhere.
 
-    Plan: md5 per page in ``map_batches``, ONE key-disjoint exchange
-    on the hash, then a vectorized per-block group scan against the
-    broadcast dup-cluster map (clusters only hold duplicate pages, a
-    tiny fraction of the corpus; a 10^12-doc run would hash-join on
-    page_id instead of broadcasting)."""
-    import hashlib
-
+    Plan: content hash per page in ``map_batches``, ONE key-disjoint
+    exchange on the hash, then a vectorized (lexsort + reduceat)
+    per-block group scan against the broadcast dup-cluster map
+    (clusters only hold duplicate pages, a tiny fraction of the
+    corpus; a 10^12-doc run would hash-join on page_id instead of
+    broadcasting)."""
     import ray
 
+    from nxsearch_ray.functions.hashing import (content_hash128,
+                                                string_buffers)
     from nxsearch_ray.pipelines.dedup import clusters_as_table
     from nxsearch_ray.stages.shuffle import hash_partitioned
 
@@ -534,19 +545,20 @@ def q_dedup_exact_verify(sf_dir: str):
         else np.zeros(0, dtype=bool),
     })
 
-    def add_md5(t: pa.Table) -> pa.Table:
-        md5s = [hashlib.md5((x or "").encode()).hexdigest()
-                for x in t.column("text").to_pylist()]
-        return t.select(["page_id"]).append_column(
-            pa.field("text_md5", pa.string()),
-            pa.array(md5s, type=pa.string()))
+    def add_key(t: pa.Table) -> pa.Table:
+        offs, data = string_buffers(t.column("text"))
+        h1, h2 = content_hash128(offs, data)
+        return pa.table({
+            "page_id": t.column("page_id"),
+            "h1": pa.array(h1, type=pa.int64()),
+            "h2": pa.array(h2, type=pa.int64())})
 
     keyed = _pages(sf_dir, include_html=False).map_batches(
-        add_md5, batch_format="pyarrow")
-    keyed = hash_partitioned(keyed, ["text_md5"])
+        add_key, batch_format="pyarrow")
+    keyed = hash_partitioned(keyed, ["h1"])
 
     out_schema = pa.schema([
-        ("text_md5", pa.string()), ("n_pages", pa.int64()),
+        ("group_min_page_id", pa.int64()), ("n_pages", pa.int64()),
         ("n_clusters", pa.int64()),
         ("cluster_is_component_min", pa.bool_())])
 
@@ -554,16 +566,9 @@ def q_dedup_exact_verify(sf_dir: str):
         if t.num_rows == 0:
             return out_schema.empty_table()
         b = ray.get(bcast)
-        md5s = np.asarray(t.column("text_md5").to_pylist(), dtype=object)
+        h1 = t.column("h1").to_numpy()
+        h2 = t.column("h2").to_numpy()
         pids = t.column("page_id").to_numpy()
-        o = np.argsort(md5s, kind="stable")
-        md5s, pids = md5s[o], pids[o]
-        brk = np.r_[True, md5s[1:] != md5s[:-1]]
-        gstart = np.flatnonzero(brk)
-        gsize = np.diff(np.r_[gstart, len(md5s)])
-        dup = gsize >= 2
-        if not dup.any():
-            return out_schema.empty_table()
         # cluster id per page: searchsorted into the broadcast map;
         # unclustered pages get a unique negative sentinel so any
         # missing member makes n_clusters > 1 (a failure)
@@ -580,18 +585,29 @@ def q_dedup_exact_verify(sf_dir: str):
             jc = np.clip(np.searchsorted(b["clusters"], cl), 0,
                          len(b["clusters"]) - 1)
             mok = hit & (b["clusters"][jc] == cl) & b["cluster_min_ok"][jc]
-        rows_md5, n_pages, n_clusters, min_ok = [], [], [], []
-        for s, n in zip(gstart[dup], gsize[dup]):
-            seg = cl[s:s + n]
-            rows_md5.append(md5s[s])
-            n_pages.append(int(n))
-            n_clusters.append(len(np.unique(seg)))
-            min_ok.append(bool(mok[s:s + n].all()))
+        # one lexsort groups rows by content hash with cluster runs
+        # contiguous inside each group; every per-group stat is then a
+        # reduceat — no per-group Python
+        o = np.lexsort((cl, h2, h1))
+        h1s, h2s, cls = h1[o], h2[o], cl[o]
+        ps, moks = pids[o], mok[o]
+        grp_brk = np.r_[True, (h1s[1:] != h1s[:-1])
+                        | (h2s[1:] != h2s[:-1])]
+        gstart = np.flatnonzero(grp_brk)
+        gsize = np.diff(np.r_[gstart, len(ps)])
+        dup = gsize >= 2
+        if not dup.any():
+            return out_schema.empty_table()
+        run_start = grp_brk | np.r_[True, cls[1:] != cls[:-1]]
+        n_clusters = np.add.reduceat(run_start.astype(np.int64), gstart)
+        group_min = np.minimum.reduceat(ps, gstart)
+        min_ok = np.bitwise_and.reduceat(moks, gstart)
         return pa.table({
-            "text_md5": pa.array(rows_md5, type=pa.string()),
-            "n_pages": pa.array(n_pages, type=pa.int64()),
-            "n_clusters": pa.array(n_clusters, type=pa.int64()),
-            "cluster_is_component_min": pa.array(min_ok,
+            "group_min_page_id": pa.array(group_min[dup],
+                                          type=pa.int64()),
+            "n_pages": pa.array(gsize[dup], type=pa.int64()),
+            "n_clusters": pa.array(n_clusters[dup], type=pa.int64()),
+            "cluster_is_component_min": pa.array(min_ok[dup],
                                                  type=pa.bool_())})
 
     return keyed.map_batches(verify_block, batch_format="pyarrow")
@@ -1130,11 +1146,10 @@ inj AS (SELECT page_id,
                {pii_inject_sql('text', 'page_id')} AS text
         FROM qual),
 scr AS (SELECT page_id, {pii_select_sql('text')} FROM inj)
-SELECT md5(clean_text) AS text_md5,
+SELECT min(page_id) AS canonical_page_id,
        count(*) AS n_pages,
-       min(page_id) AS canonical_page_id,
        sum(n_email)::BIGINT AS n_email
-FROM scr GROUP BY md5(clean_text)
+FROM scr GROUP BY clean_text
 """
 
 
@@ -1184,9 +1199,8 @@ SELECT page_id, url, text FROM pages
 """,
         "exact_dedup": f"""
 WITH {PAGES_CTE}
-SELECT md5(text) AS text_md5, count(*) AS n_dups,
-       min(page_id) AS canonical_page_id
-FROM pages GROUP BY md5(text) HAVING count(*) >= 2
+SELECT min(page_id) AS canonical_page_id, count(*) AS n_dups
+FROM pages GROUP BY text HAVING count(*) >= 2
 """,
         # invariant oracle for the flagship clusters output: every
         # md5-identical page group must land in exactly one cluster
@@ -1195,10 +1209,10 @@ FROM pages GROUP BY md5(text) HAVING count(*) >= 2
         # side measures it against the actual clustering
         "dedup_exact_verify": f"""
 WITH {PAGES_CTE}
-SELECT md5(text) AS text_md5, count(*) AS n_pages,
+SELECT min(page_id) AS group_min_page_id, count(*) AS n_pages,
        CAST(1 AS BIGINT) AS n_clusters,
        TRUE AS cluster_is_component_min
-FROM pages GROUP BY md5(text) HAVING count(*) >= 2
+FROM pages GROUP BY text HAVING count(*) >= 2
 """,
         "signatures_plain": f"""
 WITH tok AS (SELECT doc_id,

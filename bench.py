@@ -18,6 +18,11 @@ BENCH_SCALE_PAIRS interleaved (lo, hi) pairs so each ratio samples
 one host-load window, min of 2 timed runs per level, plus a
 same-window pure-CPU burn ceiling per pair.  Reports the best pair
 (value), the median, and ceiling-normalized efficiencies.
+
+BENCH_PLAN=scalepath forces the 10^12-doc physical plans (bucketed
+pair-payload verify join + label-propagation CC) in the flagship /
+scaling runs instead of run_dedup's size-based 'auto' selection —
+the evidence path for the plan that actually runs at scale.
 """
 
 from __future__ import annotations
@@ -32,6 +37,13 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_N = int(os.environ.get("BENCH_SYNTH_N", "20000"))
 SYNTH_SEED = 1234
+
+
+def _plan_kwargs() -> dict:
+    """run_dedup plan overrides from BENCH_PLAN (default: auto)."""
+    if os.environ.get("BENCH_PLAN", "auto") == "scalepath":
+        return {"verify_mode": "bucketed", "cc_mode": "labelprop"}
+    return {}
 
 
 def _timed(fn):
@@ -250,7 +262,8 @@ def run_scaling_worker(ncpu: int, reps: int = 2) -> None:
         t0 = time.monotonic()
         res = run_dedup(
             read_parquet_clean(corpus, columns=cols,
-                            override_num_blocks=4 * ncpu), cfg)
+                            override_num_blocks=4 * ncpu), cfg,
+            **_plan_kwargs())
         rows = clusters_as_table(res).num_rows
         walls.append(round(time.monotonic() - t0, 3))
         stage_walls.append({k: v for k, v in res.stats.items()
@@ -259,6 +272,7 @@ def run_scaling_worker(ncpu: int, reps: int = 2) -> None:
     ray.shutdown()
     print(json.dumps({"sec": min(walls), "walls": walls,
                       "stage_walls": stage_walls,
+                      "plan": os.environ.get("BENCH_PLAN", "auto"),
                       "n_pages": n_pages, "clusters": rows,
                       "num_cpus": ncpu}))
 
@@ -342,6 +356,7 @@ def run_scaling() -> dict:
                   f"{lo}->{hi} cpus (fresh sessions, same input, "
                   f"{n_pairs} interleaved pairs, min of 2 runs/level; "
                   "value = best pair — least host interference)",
+        "plan": os.environ.get("BENCH_PLAN", "auto"),
         "lo_cpus": lo,
         "hi_cpus": hi,
         "value": best["efficiency"],

@@ -111,6 +111,80 @@ def hash_strings(values=None, offsets: np.ndarray | None = None,
         np.seterr(**old)
 
 
+def string_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (offsets, data) numpy views of a pa.string() column
+    (Array or ChunkedArray), honoring the array's slice offset."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) \
+        else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    return offs, data
+
+
+# independent odd multipliers for the two 64-bit halves of
+# content_hash128 (FNV prime; golden-ratio constant forced odd)
+_POLY_P1 = _U64(0x100000001B3)
+_POLY_P2 = _U64(0x9E3779B97F4A7C15 | 1)
+
+
+def content_hash128(offsets: np.ndarray, data: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Full-content 128-bit hash per string over raw Arrow string
+    buffers: two independent segmented polynomial hashes mod 2^64
+    (splitmix64-finalized, length mixed in), returned as int64 views
+    so Ray's groupby takes the native-Arrow path (uint64 > 2^63 keys
+    fall back to pickling).
+
+    Unlike ``hash_strings`` (a 32-byte-prefix token hash), EVERY byte
+    contributes — this is the engine-side exact-dedup group key.  All
+    numpy, O(total bytes), no per-row Python: per-byte weights are a
+    power table gathered by position-in-row, per-row sums are one
+    ``np.add.reduceat``.  Expected cross-collisions over 128 bits at
+    10^12 rows: ~n²/2^129 ≈ 10^-15."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    if n <= 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    starts = offsets[:-1]
+    lengths = offsets[1:] - starts
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    seg = np.asarray(data, dtype=np.uint8)[lo:hi]
+    old = np.seterr(over="ignore")
+    try:
+        halves = []
+        for mult, seed in ((_POLY_P1, 0xA5A5), (_POLY_P2, 0x5A5A)):
+            if len(seg):
+                maxlen = int(lengths.max())
+                pows = np.empty(maxlen, dtype=_U64)
+                pows[0] = _U64(1)
+                if maxlen > 1:
+                    np.multiply.accumulate(
+                        np.full(maxlen - 1, mult, dtype=_U64),
+                        out=pows[1:])
+                pos = np.arange(hi - lo, dtype=np.int64) \
+                    - np.repeat(starts - lo, lengths)
+                contrib = (seg.astype(_U64) + _U64(1)) * pows[pos]
+                idx = np.minimum(starts - lo, max(hi - lo - 1, 0))
+                sums = np.add.reduceat(contrib, idx)
+                sums[lengths == 0] = _U64(0)
+            else:
+                sums = np.zeros(n, dtype=_U64)
+            h = splitmix64(sums ^ splitmix64(
+                lengths.astype(_U64) ^ _U64(seed)))
+            halves.append(h.view(np.int64))
+        return halves[0], halves[1]
+    finally:
+        np.seterr(**old)
+
+
 def shingle_hashes(token_hashes: np.ndarray, doc_offsets: np.ndarray,
                    k: int) -> tuple[np.ndarray, np.ndarray]:
     """k-token rolling shingle hashes over a batch.

@@ -208,9 +208,12 @@ def _decode_png(buf: bytes) -> np.ndarray:
             bts[rows[:, None], cols.reshape(-1)[None, :]] = \
                 sub.reshape(ph, pw * bpp)
     if depth == 16:
-        # big-endian 16-bit samples → 8-bit by dropping the low byte
-        # (the spec's recommended downconversion)
-        bts = bts.reshape(h, w * ch, 2)[:, :, 0]
+        # big-endian 16-bit samples → 8-bit by linear rescale with
+        # rounding, round(v16 * 255 / 65535) — matches libpng/Pillow
+        # output where plain high-byte truncation can be off by one
+        pairs = bts.reshape(h, w * ch, 2).astype(np.uint32)
+        v16 = (pairs[:, :, 0] << 8) | pairs[:, :, 1]
+        bts = ((v16 * 255 + 32767) // 65535).astype(np.uint8)
     px = bts.reshape(h, w, ch)
     if ctype_i == 3:
         if plte is None:

@@ -163,15 +163,21 @@ def parse_avi_mjpeg(buf: bytes) -> "AviMjpegVideo | None":
                         "<II", buf[hstart + 32:hstart + 40])
         elif cid == b"movi":
             saw_movi = True
-            for fid, fstart, fsize in _riff_chunks(buf, start,
-                                                   start + size):
-                if fid[2:4] in (b"dc", b"db"):
-                    if buf[fstart:fstart + 2] != b"\xff\xd8":
-                        raise ValueError(
-                            "AVI stream is not MJPEG (frame without "
-                            "JPEG SOI) — inter-frame codecs need a "
-                            "codec library")
-                    spans.append((fstart, fsize))
+            # frame chunks may sit directly in 'movi' or be grouped
+            # inside nested 'rec ' LISTs (interleaved AVIs)
+            stack = [(start, start + size)]
+            while stack:
+                s, e = stack.pop()
+                for fid, fstart, fsize in _riff_chunks(buf, s, e):
+                    if fid == b"rec ":
+                        stack.append((fstart, fstart + fsize))
+                    elif fid[2:4] in (b"dc", b"db"):
+                        if buf[fstart:fstart + 2] != b"\xff\xd8":
+                            raise ValueError(
+                                "AVI stream is not MJPEG (frame without "
+                                "JPEG SOI) — inter-frame codecs need a "
+                                "codec library")
+                        spans.append((fstart, fsize))
     if not saw_movi:
         raise ValueError("AVI without a movi list")
     return AviMjpegVideo(width=w, height=h, usec_per_frame=usec,

@@ -34,8 +34,10 @@ def jsonl_bytes_to_documents(buf: bytes, *, field_map: dict | None
                              = None, default_source: str = "jsonl"
                              ) -> pa.Table:
     """One shard's bytes (plain or gzip) → documents-schema table.
-    Records without an integer id get a stable 63-bit hash of the
-    text (so re-runs assign identical ids)."""
+    Records without an integer id get a stable md5-derived id with
+    bit 62 set (so re-runs assign identical ids AND hashed ids live in
+    [2^62, 2^63), disjoint from any realistic genuine integer id;
+    JSON ``true``/``false`` ids are treated as absent, not as 1/0)."""
     import hashlib
 
     fm = {"doc_id": "doc_id", "text": "text", "lang": "lang",
@@ -50,12 +52,13 @@ def jsonl_bytes_to_documents(buf: bytes, *, field_map: dict | None
         rec = json.loads(line)
         text = str(rec.get(fm["text"], ""))
         rid = rec.get(fm["doc_id"])
-        if isinstance(rid, int):
+        if isinstance(rid, int) and not isinstance(rid, bool):
             ids.append(rid)
         else:
             key = str(rid) if rid is not None else text
-            ids.append(int.from_bytes(
-                hashlib.md5(key.encode()).digest()[:8], "big") >> 1)
+            h62 = int.from_bytes(
+                hashlib.md5(key.encode()).digest()[:8], "big") >> 2
+            ids.append(h62 | (1 << 62))
         texts.append(text)
         langs.append(str(rec.get(fm["lang"], "")))
         sources.append(str(rec.get(fm["source"], default_source)))

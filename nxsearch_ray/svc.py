@@ -38,6 +38,8 @@ import json
 import os
 import re
 import shutil
+import threading
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -81,7 +83,19 @@ class IndexStore:
         from nxsearch_ray.functions.plugins import load_filters_from_dir
         load_filters_from_dir(self.filters_dir)
         # name -> (generation, canonical MaterializedDataset, vocab_ref)
-        self._open: dict[str, tuple[int, object, object]] = {}
+        # — true LRU (accessed entries move to the end, eviction pops
+        # the front), guarded by a lock: the ThreadingHTTPServer runs
+        # one thread per request and they share this store
+        self._open: OrderedDict[str, tuple[int, object, object]] = \
+            OrderedDict()
+        self._open_lock = threading.Lock()
+        # one Ray Data job at a time: each search already parallelizes
+        # across the whole cluster inside its job, and CONCURRENT
+        # streaming executors from several driver threads can deadlock
+        # reserving resources for their actor pools on a small session
+        # (the reference's per-request mmap reads have no analogue of
+        # this).  HTTP threads queue here; add/fetch stay lock-free.
+        self._job_slot = threading.Lock()
 
     # -- paths ---------------------------------------------------------
     def index_dir(self, name: str) -> str:
@@ -111,7 +125,8 @@ class IndexStore:
 
     def destroy(self, name: str) -> None:
         shutil.rmtree(self.index_dir(name))
-        self._open.pop(name, None)
+        with self._open_lock:
+            self._open.pop(name, None)
 
     # -- open-index cache (ST7 analogue) -----------------------------
     def _gen_path(self, name: str) -> str:
@@ -122,7 +137,8 @@ class IndexStore:
         g = self.generation(name) + 1
         with open(self._gen_path(name), "w") as f:
             f.write(str(g))
-        self._open.pop(name, None)
+        with self._open_lock:
+            self._open.pop(name, None)
 
     def generation(self, name: str) -> int:
         try:
@@ -226,26 +242,43 @@ class IndexStore:
             import pyarrow as pa
             return pa.schema([("doc_id", pa.int64()),
                               ("score", pa.float64())]).empty_table()
-        cached = self._open.get(name)
-        if cached is not None and cached[0] == gen:
-            _, canonical, vref = cached
-            if fuzzymatch and vref is None:
-                vref = build_vocab_index_ref(vocabulary(canonical))
+        with self._job_slot:
+            with self._open_lock:
+                cached = self._open.get(name)
+                if cached is not None:
+                    self._open.move_to_end(name)      # LRU touch
+            if cached is not None and cached[0] == gen:
+                _, canonical, vref = cached
+                if fuzzymatch and vref is None:
+                    vref = build_vocab_index_ref(vocabulary(canonical))
+                    self._cache_put(name, gen, canonical, vref)
+            else:
+                from nxsearch_ray.sources.io import read_parquet_clean
+                ds = read_parquet_clean(paths)
+                # tokens column kept so a later fuzzy search can build
+                # the vocabulary from the cached canonical table (the
+                # job slot serializes builds; a put under a newer
+                # generation is never clobbered — see _cache_put)
+                canonical = canonicalize_stage(
+                    ds, cfg, include_tokens=True).materialize()
+                vref = build_vocab_index_ref(vocabulary(canonical)) \
+                    if fuzzymatch else None
+                self._cache_put(name, gen, canonical, vref)
+            return term_search(
+                canonical, query, cfg, algo=algo, limit=limit,
+                id_col="doc_id",
+                fuzzy_vocab_ref=vref if fuzzymatch else None)
+
+    def _cache_put(self, name: str, gen: int, canonical, vref) -> None:
+        with self._open_lock:
+            # never replace a newer generation already cached by a
+            # concurrent search that raced past this one
+            prev = self._open.get(name)
+            if prev is None or prev[0] <= gen:
                 self._open[name] = (gen, canonical, vref)
-        else:
-            from nxsearch_ray.sources.io import read_parquet_clean
-            ds = read_parquet_clean(paths)
-            # tokens column kept so a later fuzzy search can build the
-            # vocabulary from the cached canonical table
-            canonical = canonicalize_stage(
-                ds, cfg, include_tokens=True).materialize()
-            vref = build_vocab_index_ref(vocabulary(canonical))                 if fuzzymatch else None
-            if len(self._open) >= self.CACHE_SLOTS:   # simple LRU
-                self._open.pop(next(iter(self._open)))
-            self._open[name] = (gen, canonical, vref)
-        return term_search(canonical, query, cfg, algo=algo,
-                           limit=limit, id_col="doc_id",
-                           fuzzy_vocab_ref=vref if fuzzymatch else None)
+                self._open.move_to_end(name)
+            while len(self._open) > self.CACHE_SLOTS:  # LRU eviction
+                self._open.popitem(last=False)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -357,7 +390,14 @@ class _Handler(BaseHTTPRequestHandler):
         if not isinstance(params, dict):
             return self._error("params must be a JSON object",
                                ERR_INVALID)
-        self.store.create(name, params)
+        try:
+            self.store.create(name, params)
+        except FileExistsError:
+            # TOCTOU between exists() and makedirs under concurrent
+            # POSTs to the same name — surface the reference's
+            # ERR_EXISTS wire code, not a generic ERR_SYSTEM
+            return self._error(f"index {name!r} already exists",
+                               ERR_EXISTS)
         self._reply(201)
 
     def _post_add(self, name: str, doc_id: str, qs: dict) -> None:

@@ -165,3 +165,60 @@ def test_md5_matches_duckdb():
     s = "hello wörld"
     [(d,)] = duckdb.sql("select md5(?)", params=[s]).fetchall()
     assert d == H.md5_hex(s)
+
+
+def test_content_hash128_full_content_and_slices():
+    """content_hash128: every byte contributes (unlike the 32-byte
+    prefix hash_strings), hashes are batch-composition-independent,
+    slice/chunk layouts agree, empties and nulls hash alike."""
+    import pyarrow as pa
+
+    from nxsearch_ray.functions.hashing import (content_hash128,
+                                                string_buffers)
+
+    vals = ["hello", "", "hello", "world", "hellp", None,
+            "a" * 100_000, "a" * 99_999 + "b", ""]
+    arr = pa.array(vals, type=pa.string())
+    h1, h2 = content_hash128(*string_buffers(arr))
+    assert h1.dtype == np.int64 and h2.dtype == np.int64
+    assert h1[0] == h1[2] and h2[0] == h2[2]      # equal strings agree
+    assert (h1[0], h2[0]) != (h1[3], h2[3])
+    assert (h1[0], h2[0]) != (h1[4], h2[4])       # 1-char diff
+    # deep difference far past any prefix window
+    assert (h1[6], h2[6]) != (h1[7], h2[7])
+    assert h1[1] == h1[8] == h1[5]                # empty == null
+    # sliced array (non-zero arrow offset)
+    s1, s2 = content_hash128(*string_buffers(arr.slice(2, 3)))
+    assert np.array_equal(s1, h1[2:5]) and np.array_equal(s2, h2[2:5])
+    # chunked layout
+    ch = pa.chunked_array([arr[:4], arr[4:]])
+    c1, c2 = content_hash128(*string_buffers(ch))
+    assert np.array_equal(c1, h1) and np.array_equal(c2, h2)
+    # batch-composition independence
+    b1, b2 = content_hash128(*string_buffers(pa.array(["world"])))
+    assert b1[0] == h1[3] and b2[0] == h2[3]
+    # all-empty batch and zero-row batch
+    e1, e2 = content_hash128(*string_buffers(pa.array(["", ""])))
+    assert e1[0] == e1[1] == h1[1]
+    z1, z2 = content_hash128(*string_buffers(pa.array([], pa.string())))
+    assert len(z1) == 0 and len(z2) == 0
+    # the two halves are independent: ~no correlation on a spray
+    import numpy as _np
+    many = pa.array([f"doc {i} body" for i in range(1000)])
+    m1, m2 = content_hash128(*string_buffers(many))
+    assert len(_np.unique(m1)) == 1000 and len(_np.unique(m2)) == 1000
+    assert not _np.array_equal(m1, m2)
+
+
+def test_content_hash128_large_string_type():
+    import pyarrow as pa
+
+    from nxsearch_ray.functions.hashing import (content_hash128,
+                                                string_buffers)
+
+    vals = ["x", "yy", "zzz"]
+    small = content_hash128(*string_buffers(pa.array(vals, pa.string())))
+    large = content_hash128(*string_buffers(
+        pa.array(vals, pa.large_string())))
+    assert np.array_equal(small[0], large[0])
+    assert np.array_equal(small[1], large[1])

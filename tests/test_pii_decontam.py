@@ -236,14 +236,13 @@ def test_web_clean_composition(ray_session, sf_dir):
 
     out = pa.concat_tables(
         entrymod.q_web_clean(sf_dir).iter_batches(
-            batch_format="pyarrow")).sort_by("text_md5")
+            batch_format="pyarrow")).sort_by("canonical_page_id")
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/documents.parquet')")
     sql = con.execute(entrymod.oracle_sql()["web_clean"]).arrow() \
-        .sort_by("text_md5")
-    for col in ("text_md5", "n_pages", "canonical_page_id",
-                "n_email"):
+        .sort_by("canonical_page_id")
+    for col in ("canonical_page_id", "n_pages", "n_email"):
         assert out.column(col).to_pylist() == \
             sql.column(col).to_pylist(), col
     # the pipeline genuinely filtered AND deduplicated

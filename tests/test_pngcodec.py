@@ -172,9 +172,16 @@ def test_png_adam7_interlaced():
     assert np.array_equal(out, img)
 
 
+def _scale_16to8(img16: np.ndarray) -> np.ndarray:
+    """round(v * 255 / 65535) — the libpng-style linear rescale."""
+    return ((img16.astype(np.uint32) * 255 + 32767) // 65535) \
+        .astype(np.uint8)
+
+
 def test_png_16bit_depth():
-    """16-bit samples decode to their high bytes (the spec's
-    recommended 16->8 downconversion), all filter types."""
+    """16-bit samples decode via linear rescale round(v*255/65535)
+    (matches libpng/Pillow; plain high-byte truncation is off by one
+    on values like 0x00FF), all filter types."""
     rng = np.random.default_rng(4)
     img16 = rng.integers(0, 1 << 16, size=(6, 5, 3), dtype=np.uint16)
     as_bytes = img16.astype(">u2").view(np.uint8).reshape(6, 5, 6)
@@ -184,7 +191,7 @@ def test_png_16bit_depth():
             _forward_filter(as_bytes, [0, 1, 2, 3, 4]))) + \
         _chunk(b"IEND", b"")
     out = decode_image(buf)
-    assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
+    assert np.array_equal(out, _scale_16to8(img16))
 
     # 16-bit gray
     g16 = rng.integers(0, 1 << 16, size=(4, 7, 1), dtype=np.uint16)
@@ -193,5 +200,14 @@ def test_png_16bit_depth():
     buf = PNG_SIG + _chunk(b"IHDR", ihdr) + \
         _chunk(b"IDAT", zlib.compress(_forward_filter(gb, [4]))) + \
         _chunk(b"IEND", b"")
-    assert np.array_equal(decode_image(buf),
-                          (g16 >> 8).astype(np.uint8))
+    assert np.array_equal(decode_image(buf), _scale_16to8(g16))
+
+    # the truncation-vs-rescale boundary cases: 0x00FF rescales to 1
+    # (truncation says 0), 0xFF00 rescales to 254 (truncation 255)
+    edge = np.array([[[0x00FF, 0xFF00, 0xFFFF]]], dtype=np.uint16)
+    eb = edge.astype(">u2").view(np.uint8).reshape(1, 1, 6)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    buf = PNG_SIG + _chunk(b"IHDR", ihdr) + \
+        _chunk(b"IDAT", zlib.compress(_forward_filter(eb, [0]))) + \
+        _chunk(b"IEND", b"")
+    assert decode_image(buf).ravel().tolist() == [1, 254, 255]

@@ -212,3 +212,104 @@ def test_svc_lua_store_contract(svc, monkeypatch, tmp_path):
                 b"this is ( not lua")[0] == 400
     assert not os.path.exists(
         os.path.join(srv.store.filters_dir, "brokenx.lua"))
+
+
+def test_svc_concurrent_create_toctou(svc):
+    """Concurrent POSTs creating the same index: exactly one 201, the
+    rest 400 with the reference's ERR_EXISTS wire code (3) — never the
+    generic ERR_SYSTEM the exists()/makedirs TOCTOU used to surface."""
+    import concurrent.futures
+
+    url, _ = svc
+    idx = "toctou"
+    barrier = threading.Barrier(8)
+
+    def create():
+        barrier.wait()
+        return _req(f"{url}/{idx}", "POST")
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(lambda _: create(), range(8)))
+    codes = sorted(c for c, _ in results)
+    assert codes == [201] + [400] * 7
+    for code, body in results:
+        if code == 400:
+            assert json.loads(body)["error"]["code"] == 3  # ERR_EXISTS
+    _req(f"{url}/{idx}", "DELETE")
+
+
+def test_svc_concurrent_search_add_race(svc):
+    """Searches racing adds on a shared index through the threaded
+    server: no request may surface a spurious 400 (the pre-lock cache
+    eviction could KeyError under concurrency), every search result
+    must be internally consistent, and the final search sees all
+    documents."""
+    import concurrent.futures
+
+    url, _ = svc
+    idx = "racer"
+    assert _req(f"{url}/{idx}", "POST")[0] == 201
+    assert _req(f"{url}/{idx}/add/1", "POST", b"alpha beta")[0] == 201
+
+    def searcher(i):
+        return _req(f"{url}/{idx}/search", "POST", b"alpha")
+
+    def adder(i):
+        return _req(f"{url}/{idx}/add/{i + 2}", "POST",
+                    f"alpha gamma{i}".encode())
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        futs = [ex.submit(searcher, i) for i in range(6)]
+        futs += [ex.submit(adder, i) for i in range(4)]
+        results = [f.result() for f in futs]
+    for code, body in results:
+        assert code in (200, 201), body
+        if code == 200:
+            resp = json.loads(body)
+            assert resp["count"] == len(resp["results"]) >= 1
+    code, body = _req(f"{url}/{idx}/search", "POST", b"alpha")
+    assert json.loads(body)["count"] == 5
+    _req(f"{url}/{idx}", "DELETE")
+
+
+def test_svc_open_cache_lru_semantics(svc):
+    """The open-index cache is a true LRU under concurrent puts:
+    accessed entries survive eviction, the least-recently-used entry
+    is evicted first, and hammering _cache_put from many threads never
+    raises or exceeds the slot budget."""
+    import concurrent.futures
+
+    from nxsearch_ray.svc import IndexStore
+
+    _, srv = svc
+    store = srv.store
+    # direct unit exercise of the locked LRU (no Ray work involved)
+    saved = dict(store._open)
+    store._open.clear()
+    try:
+        for i in range(IndexStore.CACHE_SLOTS):
+            store._cache_put(f"__lru{i}", 1, object(), None)
+        # touch the oldest entry, then overflow by one
+        with store._open_lock:
+            store._open.move_to_end("__lru0")
+        store._cache_put("__lru_new", 1, object(), None)
+        assert "__lru0" in store._open              # recently used: kept
+        assert "__lru1" not in store._open          # LRU: evicted
+        assert len(store._open) == IndexStore.CACHE_SLOTS
+        # stale-generation put never clobbers a newer cached entry
+        marker = object()
+        store._cache_put("__lru0", 5, marker, None)
+        store._cache_put("__lru0", 3, object(), None)
+        assert store._open["__lru0"][0] == 5
+        assert store._open["__lru0"][1] is marker
+        # concurrency hammer: 16 threads × 50 puts over 40 names
+        def hammer(seed):
+            for j in range(50):
+                store._cache_put(f"__h{(seed * 7 + j) % 40}", j,
+                                 object(), None)
+        with concurrent.futures.ThreadPoolExecutor(16) as ex:
+            list(ex.map(hammer, range(16)))
+        assert len(store._open) == IndexStore.CACHE_SLOTS
+    finally:
+        store._open.clear()
+        store._open.update(saved)
