@@ -484,21 +484,159 @@ def q_dedup_clusters(sf_dir: str):
 
 
 def q_dedup_pairs(sf_dir: str):
-    return _dedup(sf_dir).verified_pairs
+    """Planted-pair recall invariant over the flagship
+    ``verified_pairs`` (the raw pair table is not SQL-expressible —
+    genuine extra near-dup pairs between similar synthetic docs are
+    legitimate output): PAGES_CTE plants a ``copy`` variant
+    (doc_id%7==0, byte-identical — the exact pass must pair it with
+    its original) and a ``tail`` variant (doc_id%11==0, first 5 words
+    dropped — the containment/suffix path must pair it).  One row per
+    planted pair with ``found``; the SQL twin enumerates the same
+    pairs with TRUE, so any recall regression breaks the value hash.
+
+    Plan: pair keys are packed and sorted in ONE remote task (verified
+    pairs are a small fraction of the corpus) and broadcast; planted
+    pairs stream out of pages in ``map_batches`` with a vectorized
+    searchsorted membership probe.  At 10^12 docs (page ids past
+    2^31) the broadcast probe becomes a bucketed hash join on (a, b)
+    — the verify_pairs_bucketed shape."""
+    import ray
+
+    pairs_ds = _dedup(sf_dir).verified_pairs
+    refs = pairs_ds.select_columns(["a", "b"]).to_arrow_refs()
+
+    @ray.remote
+    def _pair_keys(*blocks):
+        ks = [b.column("a").to_numpy() * (np.int64(1) << 32)
+              + b.column("b").to_numpy()
+              for b in blocks if b.num_columns > 0 and b.num_rows > 0]
+        if not ks:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(ks))
+
+    bcast = _pair_keys.remote(*refs)
+    out_schema = pa.schema([("page_a", pa.int64()),
+                            ("page_b", pa.int64()),
+                            ("variant", pa.string()),
+                            ("found", pa.bool_())])
+
+    def probe(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(t.column("variant"),
+                     value_set=pa.array(["copy", "tail"]))
+        t = t.filter(m)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = ray.get(bcast)
+        b = t.column("page_id").to_numpy()
+        a = b - (b & 3)
+        q = a * (np.int64(1) << 32) + b     # a < b always: a = b&~3
+        j = np.searchsorted(keys, q)
+        found = np.zeros(len(q), dtype=bool)
+        ok = j < len(keys)
+        found[ok] = keys[j[ok]] == q[ok]
+        return pa.table({
+            "page_a": pa.array(a, type=pa.int64()),
+            "page_b": pa.array(b, type=pa.int64()),
+            "variant": t.column("variant"),
+            "found": pa.array(found)})
+
+    return _pages(sf_dir, include_html=False) \
+        .select_columns(["page_id", "variant"]) \
+        .map_batches(probe, batch_format="pyarrow")
 
 
 def q_cluster_sizes(sf_dir: str):
-    """20 largest clusters — vectorized Arrow aggregation (the table
-    is one small block; no pandas round-trip)."""
-    t = q_dedup_clusters(sf_dir)
-    counts = t.column("cluster_id").value_counts()
-    cid = counts.field("values").to_numpy()
-    size = counts.field("counts").to_numpy()
-    order = np.lexsort((cid, -size))[:20]
-    return pa.Table.from_arrays(
-        [pa.array(cid[order], type=pa.int64()),
-         pa.array(size[order], type=pa.int64())],
-        names=["cluster_id", "size"])
+    """Planted-group cluster-size invariant (the successor of the
+    rows-only top-20 listing, which any user gets from one
+    ``value_counts`` over ``dedup_clusters``): every planted variant
+    group {orig, copy?, tail?} — pages sharing ``page_id // 4``, the
+    SQL-derivable duplicate groups INCLUDING near-dup tails, stronger
+    than ``dedup_exact_verify``'s exact-only groups — must sit in ONE
+    cluster (``n_clusters`` = 1) whose total size is at least the
+    group size (``cluster_size_ok``: the cluster may legitimately be
+    bigger via genuine cross-doc near-dups, never smaller).
+
+    Plan: clusters table → broadcast (page_id → cluster_id) map +
+    per-cluster sizes built in one remote task; pages get ONE
+    key-disjoint exchange on the group key, then lexsort + reduceat
+    per block — no per-group Python, no driver collect (a 10^12-doc
+    run hash-joins on page_id instead of broadcasting, as with
+    dedup_exact_verify)."""
+    import ray
+
+    from nxsearch_ray.pipelines.dedup import clusters_as_table
+    from nxsearch_ray.stages.shuffle import hash_partitioned
+
+    ct = clusters_as_table(_dedup(sf_dir))
+    pids = ct.column("page_id").to_numpy()
+    cids = ct.column("cluster_id").to_numpy()
+    o = np.argsort(pids, kind="stable")
+    uc, usz = np.unique(cids, return_counts=True)
+    bcast = ray.put({"pages": pids[o], "clusters": cids[o],
+                     "uc": uc, "usz": usz})
+
+    out_schema = pa.schema([("group_min_page_id", pa.int64()),
+                            ("n_pages", pa.int64()),
+                            ("n_clusters", pa.int64()),
+                            ("cluster_size_ok", pa.bool_())])
+
+    def add_grp(t: pa.Table) -> pa.Table:
+        pid = t.column("page_id").to_numpy()
+        return pa.table({"page_id": t.column("page_id"),
+                         "grp": pa.array(pid >> 2, type=pa.int64())})
+
+    keyed = _pages(sf_dir, include_html=False) \
+        .select_columns(["page_id"]) \
+        .map_batches(add_grp, batch_format="pyarrow")
+    keyed = hash_partitioned(keyed, ["grp"])
+
+    def verify_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        b = ray.get(bcast)
+        pid = t.column("page_id").to_numpy()
+        grp = t.column("grp").to_numpy()
+        # cluster id per page; unclustered pages get unique negative
+        # sentinels so a missing member forces n_clusters > 1
+        if len(b["pages"]):
+            j = np.clip(np.searchsorted(b["pages"], pid), 0,
+                        len(b["pages"]) - 1)
+            hit = b["pages"][j] == pid
+            cl = np.where(hit, b["clusters"][j],
+                          -1 - np.arange(len(pid), dtype=np.int64))
+        else:
+            hit = np.zeros(len(pid), dtype=bool)
+            cl = -1 - np.arange(len(pid), dtype=np.int64)
+        csz = np.zeros(len(pid), dtype=np.int64)
+        if len(b["uc"]):
+            k = np.clip(np.searchsorted(b["uc"], cl), 0,
+                        len(b["uc"]) - 1)
+            chit = hit & (b["uc"][k] == cl)
+            csz[chit] = b["usz"][k[chit]]
+        o = np.lexsort((cl, grp))
+        grps, cls, ps, czs = grp[o], cl[o], pid[o], csz[o]
+        gbrk = np.r_[True, grps[1:] != grps[:-1]]
+        gstart = np.flatnonzero(gbrk)
+        gsize = np.diff(np.r_[gstart, len(ps)])
+        dup = gsize >= 2
+        if not dup.any():
+            return out_schema.empty_table()
+        run_start = gbrk | np.r_[True, cls[1:] != cls[:-1]]
+        n_clusters = np.add.reduceat(run_start.astype(np.int64), gstart)
+        group_min = np.minimum.reduceat(ps, gstart)
+        size_ok = np.greater_equal(
+            np.minimum.reduceat(czs, gstart),
+            gsize)
+        return pa.table({
+            "group_min_page_id": pa.array(group_min[dup],
+                                          type=pa.int64()),
+            "n_pages": pa.array(gsize[dup], type=pa.int64()),
+            "n_clusters": pa.array(n_clusters[dup], type=pa.int64()),
+            "cluster_size_ok": pa.array(size_ok[dup])})
+
+    return keyed.map_batches(verify_block, batch_format="pyarrow")
 
 
 def q_dedup_exact_verify(sf_dir: str):
@@ -895,11 +1033,69 @@ def q_query_probe(sf_dir: str):
 
 
 def q_bucket_census(sf_dir: str):
-    from nxsearch_ray.stages.diagnostics import bucket_census
-    from nxsearch_ray.stages.signatures import canonsig_stage
+    """Candidate-bucket-size census (the skew-policy pre-pass, SURVEY
+    §2.5 A2) over the SQL-mirrorable slice: ``filters=()`` signatures
+    of the plain ``documents`` table, three deterministic sources —
+    the raw per-band census is NOT SQL-predictable (real LSH band
+    collisions between unequal shingle sets, ~p^4 per band at Jaccard
+    p: 554 size-2 buckets at sf0.001; it stays available as the
+    ungraded skew diagnostic ``diagnostics.bucket_census_exact``):
 
-    sigs = canonsig_stage(_pages(sf_dir), _CFG).materialize()
-    return bucket_census(sigs, _CFG)
+    - ``exact``: bucket = full token sequence (seq_hash) — the exact
+      pass's group-size histogram;
+    - ``shingle_set``: bucket = the doc's distinct-5-shingle SET via
+      an order-invariant XOR fold over its unique shingle hashes
+      (equal sets ⇔ equal fold; a signature-EQUALITY census would NOT
+      be deterministic here: planted near-dup sets differing by one
+      shingle out of ~85 agree on all 128 MinHash slots with prob
+      J^128 ≈ 0.22, observed 4× at sf0.001).  The twin groups docs by
+      the sorted distinct shingle list.  Breaks on shingling /
+      per-doc-dedup regressions;
+    - ``band_fanout``: bucket = the emitting doc, one member per band
+      key — every doc MUST emit exactly ``lsh_bands`` (=32) keys, so
+      the histogram is a single (32, n_docs) row.  Breaks on wrong
+      band count or dropped docs.
+
+    Key-disjoint census plan: diagnostics.census_over_keys."""
+    from nxsearch_ray.functions import hashing as H
+    from nxsearch_ray.stages.diagnostics import census_over_keys
+    from nxsearch_ray.stages.signatures import (list_column_numpy,
+                                                signature_stage)
+
+    cfg = _SEARCH_CFG
+    U = np.uint64
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        seq = t.column("seq_hash").to_numpy().astype(U)
+        tok_flat, tok_off = list_column_numpy(t.column("token_ids"))
+        sh_flat, sh_off = H.shingle_hashes(tok_flat, tok_off,
+                                           cfg.shingle_k)
+        uflat, uoff = H.unique_per_doc(sh_flat, sh_off)
+        seg = uoff[1:] - uoff[:-1]
+        # order-invariant set fold: XOR of (already uniform) shingle
+        # hashes, salted with the set size; reduceat returns
+        # x[start] for zero-length segments, so mask empties
+        xors = np.zeros(n, dtype=U)
+        nz = seg > 0
+        if nz.any():
+            red = np.bitwise_xor.reduceat(uflat, uoff[:-1][nz])
+            xors[nz] = red
+        fold = H.splitmix64(xors ^ H.splitmix64(seg.astype(U) ^ U(0x51)))
+        doc = t.column("doc_id").to_numpy().astype(U)
+        fan = np.repeat(H.splitmix64(doc ^ U(0xBF)), cfg.lsh_bands)
+        keys = np.concatenate([H.splitmix64(seq ^ U(0xE0)), fold, fan])
+        src = np.concatenate([
+            np.zeros(n, np.int8), np.ones(n, np.int8),
+            np.full(n * cfg.lsh_bands, 2, np.int8)])
+        return pa.table({"bucket_key": pa.array(keys.view(np.int64)),
+                         "src": pa.array(src)})
+
+    keyed = signature_stage(_canonical_docs(sf_dir), _SEARCH_CFG,
+                            keep_columns=("doc_id", "token_ids")) \
+        .map_batches(explode, batch_format="pyarrow")
+    return census_over_keys(keyed,
+                            ("exact", "shingle_set", "band_fanout"))
 
 
 # search operators run with filters=() so the DuckDB oracle can mirror
@@ -1213,6 +1409,59 @@ SELECT min(page_id) AS group_min_page_id, count(*) AS n_pages,
        CAST(1 AS BIGINT) AS n_clusters,
        TRUE AS cluster_is_component_min
 FROM pages GROUP BY text HAVING count(*) >= 2
+""",
+        # planted-pair recall: every (orig, copy) exact pair and
+        # (orig, tail) containment pair must be a verified pair
+        "dedup_pairs": f"""
+WITH {PAGES_CTE}
+SELECT page_id - (page_id % 4) AS page_a, page_id AS page_b,
+       variant, TRUE AS found
+FROM pages WHERE variant IN ('copy', 'tail')
+""",
+        # planted-group clustering: each page_id//4 variant group with
+        # >= 2 pages (copy AND tail variants — near-dup containment
+        # included, stronger than dedup_exact_verify's exact groups)
+        # sits in one cluster at least as large as the group
+        "cluster_sizes": f"""
+WITH {PAGES_CTE}
+SELECT min(page_id) AS group_min_page_id,
+       count(*) AS n_pages,
+       CAST(1 AS BIGINT) AS n_clusters,
+       TRUE AS cluster_size_ok
+FROM pages GROUP BY page_id // 4 HAVING count(*) >= 2
+""",
+        # census structure over plain-doc signatures (filters=()):
+        # exact buckets = full-token-sequence groups; shingle_set
+        # buckets = distinct-5-shingle-SET groups (order-invariant
+        # set fold, deterministic — unlike signature equality);
+        # band_fanout = every doc emits exactly 32 band keys
+        "bucket_census": f"""
+WITH tok AS (SELECT doc_id,
+                    regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS ts
+             FROM documents),
+sh AS (SELECT doc_id,
+              array_to_string(ts, ' ') AS seq,
+              CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                   WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
+                   ELSE list_sort(list_distinct(list_transform(
+                          generate_series(1, len(ts) - 4),
+                          i -> ts[i] || ' ' || ts[i+1] || ' ' ||
+                               ts[i+2] || ' ' || ts[i+3] || ' ' ||
+                               ts[i+4])))
+              END AS shingles
+       FROM tok),
+ex AS (SELECT count(*) AS sz FROM sh GROUP BY seq),
+mh AS (SELECT count(*) AS sz FROM sh GROUP BY shingles)
+SELECT source, bucket_size, n_buckets FROM (
+  SELECT 'exact' AS source, sz AS bucket_size,
+         count(*)::BIGINT AS n_buckets
+  FROM ex GROUP BY sz
+  UNION ALL
+  SELECT 'shingle_set', sz, count(*)::BIGINT
+  FROM mh GROUP BY sz
+  UNION ALL
+  SELECT 'band_fanout', 32::BIGINT, count(*)::BIGINT FROM sh
+)
 """,
         "signatures_plain": f"""
 WITH tok AS (SELECT doc_id,

@@ -85,11 +85,17 @@ def oracle_clusters(pages: pa.Table, cfg: PipelineConfig
             for a, b in zip(a_arr.tolist(), b_arr.tolist()):
                 pair_counts[(a, b)][source] += 1
 
-    # suffix co-occurrence filter (union_pair_sources.merge_sources)
+    # suffix co-occurrence filter (union_pair_sources), capped at the
+    # achievable-hit bound: min over the pair of the sides' anchor
+    # counts (a fully-contained 1-shingle doc can share only 1 bucket)
+    n_anchors = an_off[1:] - an_off[:-1]
     pair_sources: dict[tuple[int, int], set[str]] = {}
     for key, cnt in pair_counts.items():
         srcs = {s for s in cnt if s != "suffix"}
-        if cnt.get("suffix", 0) >= cfg.min_anchor_hits:
+        bound = min(int(n_anchors[row[key[0]]]),
+                    int(n_anchors[row[key[1]]]))
+        required = max(1, min(cfg.min_anchor_hits, bound))
+        if cnt.get("suffix", 0) >= required:
             srcs.add("suffix")
         if srcs:
             pair_sources[key] = srcs

@@ -12,9 +12,10 @@ Shape of the computation (broadcast membership, one pass each side):
 1. Benchmark grams: the benchmark slice (real pipelines: the eval
    suites; here a deterministic ``doc_id % benchmark_mod == 0`` slice
    so the SQL oracle can reproduce it) is streamed through a
-   map_batches that emits per-batch DISTINCT n-gram hashes; the driver
-   unions them (`np.unique`) and broadcasts ONE sorted uint64 array
-   via ``ray.put``.  Benchmarks are small and fixed-size by nature —
+   map_batches that emits per-batch DISTINCT n-gram hashes; ONE remote
+   task streams the blocks (`ray.get` one at a time) and unions them
+   (`np.unique`) — its return ref IS the broadcast sorted uint64
+   array.  Benchmarks are small and fixed-size by nature —
    eval suites are MBs against a 100 TB corpus — so the broadcast set
    stays tiny no matter the corpus scale; if a pathological benchmark
    ever outgrew worker heaps, the same exploded-gram census feeds the
@@ -88,8 +89,10 @@ def benchmark_gram_broadcast(docs_ds, *, n: int = 5,
                              benchmark_mod: int = 97,
                              id_col: str = "doc_id",
                              text_col: str = "text"):
-    """Collect the benchmark slice's distinct gram hashes into one
-    sorted uint64 array and ``ray.put`` it.  Returns (ref, n_grams)."""
+    """Union the benchmark slice's distinct gram hashes into one
+    sorted uint64 array in ONE remote task (the driver never holds a
+    gram; the task's return ref is the broadcast — same pattern as
+    verify.build_signature_index_ref).  Returns the ObjectRef."""
     import ray
 
     def bench_grams(batch: pa.Table) -> pa.Table:
@@ -100,14 +103,20 @@ def benchmark_gram_broadcast(docs_ds, *, n: int = 5,
         return pa.table({"gram": pa.array(np.unique(h),
                                           type=pa.uint64())})
 
-    chunks: list[np.ndarray] = []
-    for b in docs_ds.map_batches(
-            bench_grams, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow", batch_size=1 << 18):
-        chunks.append(b.column("gram").to_numpy())
-    grams = np.unique(np.concatenate(chunks)) if chunks else \
-        np.empty(0, dtype=np.uint64)
-    return ray.put(grams), int(grams.size)
+    refs = docs_ds.map_batches(
+        bench_grams, batch_format="pyarrow").to_arrow_refs()
+
+    @ray.remote
+    def _union(refs: list) -> np.ndarray:
+        chunks = []
+        for r in refs:
+            b = ray.get(r)        # one block in heap at a time
+            if b.num_columns and b.num_rows:
+                chunks.append(b.column("gram").to_numpy())
+        return (np.unique(np.concatenate(chunks)) if chunks
+                else np.empty(0, dtype=np.uint64))
+
+    return _union.remote(list(refs))
 
 
 def decontaminate(docs_ds, *, n: int = 5, benchmark_mod: int = 97,
@@ -118,7 +127,7 @@ def decontaminate(docs_ds, *, n: int = 5, benchmark_mod: int = 97,
     fewer than ``n`` words have no grams and are clean by definition
     (the SQL twin coalesces them to 0 the same way).
     """
-    gram_ref, _ = benchmark_gram_broadcast(
+    gram_ref = benchmark_gram_broadcast(
         docs_ds, n=n, benchmark_mod=benchmark_mod,
         id_col=id_col, text_col=text_col)
 

@@ -42,6 +42,115 @@ def duplicate_page_ids(pages_ds, id_col: str = "page_id") -> pa.Table:
     return pa.concat_tables(batches) if batches else schema.empty_table()
 
 
+def census_over_keys(keyed_ds, names: tuple[str, ...]):
+    """EXACT bucket-size histogram ``(source, bucket_size, n_buckets)``
+    over a Dataset of ``(bucket_key int64, src int8)`` rows — unlike
+    :func:`bucket_census` (a sort + per-block run scan whose counts can
+    split a bucket ±1 at block boundaries, fine for the skew
+    diagnostic), this plan is key-disjoint and deterministic, so it can
+    sit behind a value-hash oracle:
+
+      hash exchange on bucket_key (each key lands in exactly one
+      block) → vectorized per-block run count + histogram → second
+      SMALL key-disjoint exchange on the histogram keys + per-block
+      sum (NOT ``.groupby()`` — a groupby derived from the hash-scoped
+      lineage inherits HASH_SHUFFLE with Ray's default
+      num_partitions=200, a 200-aggregator-actor pool that stalls any
+      small session).
+
+    ONE all-to-all exchange over the exploded keys — the same
+    shape/cost as the candidate-pair census any 10^12-doc run needs
+    for skew-policy tuning.  ``names[src]`` labels each source."""
+    from nxsearch_ray.stages.shuffle import hash_partitioned
+
+    parts = hash_partitioned(keyed_ds, ["bucket_key"])
+
+    hist_schema = pa.schema([("src", pa.int8()),
+                             ("bucket_size", pa.int64()),
+                             ("n_buckets", pa.int64())])
+
+    def block_hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        keys = t.column("bucket_key").to_numpy()
+        srcs = t.column("src").to_numpy()
+        o = np.lexsort((keys, srcs))
+        keys, srcs = keys[o], srcs[o]
+        brk = np.r_[True, (keys[1:] != keys[:-1])
+                    | (srcs[1:] != srcs[:-1])]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.r_[starts, len(keys)])
+        run_src = srcs[starts]
+        # (src, size) histogram via lexsort-unique
+        o2 = np.lexsort((sizes, run_src))
+        rs, rc = run_src[o2], sizes[o2]
+        uniq = np.r_[True, (rs[1:] != rs[:-1]) | (rc[1:] != rc[:-1])]
+        ustart = np.flatnonzero(uniq)
+        freq = np.diff(np.r_[ustart, len(rs)])
+        return pa.table({
+            "src": pa.array(rs[ustart], type=pa.int8()),
+            "bucket_size": pa.array(rc[ustart].astype(np.int64)),
+            "n_buckets": pa.array(freq.astype(np.int64))})
+
+    hist = parts.map_batches(block_hist, batch_format="pyarrow",
+                             batch_size=None)
+    combined = hash_partitioned(hist, ["src", "bucket_size"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("source", pa.string()),
+                              ("bucket_size", pa.int64()),
+                              ("n_buckets", pa.int64())]).empty_table()
+        srcs = t.column("src").to_numpy()
+        szs = t.column("bucket_size").to_numpy()
+        cnt = t.column("n_buckets").to_numpy()
+        o = np.lexsort((szs, srcs))
+        srcs, szs, cnt = srcs[o], szs[o], cnt[o]
+        brk = np.r_[True, (srcs[1:] != srcs[:-1]) | (szs[1:] != szs[:-1])]
+        starts = np.flatnonzero(brk)
+        totals = np.add.reduceat(cnt, starts)
+        return pa.table({
+            "source": pa.array([names[int(c)] for c in srcs[starts]],
+                               type=pa.string()),
+            "bucket_size": pa.array(szs[starts], type=pa.int64()),
+            "n_buckets": pa.array(totals.astype(np.int64))})
+
+    return combined.map_batches(finish, batch_format="pyarrow",
+                                batch_size=None)
+
+
+def bucket_census_exact(signatures_ds, cfg: PipelineConfig,
+                        sources: tuple[str, ...] | None = None):
+    """:func:`census_over_keys` over the real candidate buckets of
+    ``explode_all`` (all four passes, or the ``sources`` subset) —
+    the deterministic skew-policy census for the actual banding keys.
+    NOTE: the minhash rows here include genuine LSH band collisions
+    between unequal shingle sets (~p^4 per band at Jaccard p), so this
+    census is a diagnostic, not SQL-predictable."""
+    from nxsearch_ray.stages.pairs import SRC_NAMES, explode_all
+
+    src_codes = (None if sources is None else
+                 np.array([SRC_NAMES.index(s) for s in sources],
+                          dtype=np.int8))
+
+    def explode_filter(t: pa.Table) -> pa.Table:
+        t = explode_all(cfg.to_json())(t)
+        keys = t.column("bucket_key").to_numpy()
+        out = pa.table({
+            # int64 view: Ray's hash exchange takes the native-Arrow
+            # path for int64 keys (uint64 > 2^63 falls back to pickle)
+            "bucket_key": pa.array(keys.view(np.int64)),
+            "src": t.column("src")})
+        if src_codes is None:
+            return out
+        mask = np.isin(out.column("src").to_numpy(), src_codes)
+        return out.filter(pa.array(mask))
+
+    keyed = signatures_ds.map_batches(explode_filter,
+                                      batch_format="pyarrow")
+    return census_over_keys(keyed, SRC_NAMES)
+
+
 def bucket_census(signatures_ds, cfg: PipelineConfig):
     """Histogram of candidate-bucket sizes per source:
     (source, bucket_size, n_buckets).  One shuffle (sort) + vectorized

@@ -138,11 +138,14 @@ def explode_all(cfg_json: str):
         keys_out: list[np.ndarray] = []
         page_out: list[np.ndarray] = []
         src_out: list[np.ndarray] = []
+        aux_out: list[np.ndarray] = []
 
-        def add(keys, pages, code):
+        def add(keys, pages, code, aux=None):
             keys_out.append(keys)
             page_out.append(pages)
             src_out.append(np.full(len(keys), code, dtype=np.int8))
+            aux_out.append(np.zeros(len(keys), dtype=np.int8)
+                           if aux is None else aux)
 
         # exact (src 0): seq_hash, salted
         seqh = batch.column("seq_hash").to_numpy().astype(_U64)
@@ -164,17 +167,25 @@ def explode_all(cfg_json: str):
                 np.array(c + 0x5151, dtype=_U64)))
         add(ckeys.reshape(-1), np.repeat(page, nchunks), 2)
 
-        # anchors (src 3)
+        # anchors (src 3); aux = the emitting page's anchor count
+        # (capped at 127): a fully-contained small doc can share at
+        # most min(n_anchors_a, n_anchors_b) anchor buckets, so the
+        # co-occurrence threshold downstream must cap at that — a
+        # tail/copy of a <2-shingle doc is otherwise structurally
+        # unreachable by the containment pass (found at sf0.01:
+        # a 10-word doc's 5-word tail has ONE shingle).
         a_flat, a_off = list_column_numpy(batch.column("anchors"))
         counts = a_off[1:] - a_off[:-1]
         add(H.splitmix64(a_flat ^ _U64(0xA3)),
-            np.repeat(page, counts), 3)
+            np.repeat(page, counts), 3,
+            np.repeat(np.minimum(counts, 127).astype(np.int8), counts))
 
         return pa.Table.from_arrays(
             [pa.array(np.concatenate(keys_out), type=pa.uint64()),
              pa.array(np.concatenate(page_out), type=pa.int64()),
-             pa.array(np.concatenate(src_out), type=pa.int8())],
-            names=["bucket_key", "page_id", "src"])
+             pa.array(np.concatenate(src_out), type=pa.int8()),
+             pa.array(np.concatenate(aux_out), type=pa.int8())],
+            names=["bucket_key", "page_id", "src", "aux"])
 
     return fn
 
@@ -195,9 +206,13 @@ def multi_candidate_pairs(signatures_ds, cfg: PipelineConfig, *,
     cap = cfg.hot_bucket_cap
     skip_by_src = {3: cfg.anchor_bucket_max}
     # pair rows carry the int8 source CODE, not the name: the pair
-    # stream is the widest intermediate and strings triple its width
+    # stream is the widest intermediate and strings triple its width.
+    # aux = min over the pair of the members' emission counts (anchor
+    # counts for suffix rows, 0 elsewhere) — the achievable hit bound
+    # union_pair_sources caps the suffix co-occurrence threshold at.
     out_schema = pa.schema([
-        ("a", pa.int64()), ("b", pa.int64()), ("src", pa.int8())])
+        ("a", pa.int64()), ("b", pa.int64()), ("src", pa.int8()),
+        ("aux", pa.int8())])
 
     def block_fn(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -206,9 +221,11 @@ def multi_candidate_pairs(signatures_ds, cfg: PipelineConfig, *,
         keys = t.column("bucket_key").to_numpy()
         ids = t.column("page_id").to_numpy()
         srcs = t.column("src").to_numpy()
+        auxs = t.column("aux").to_numpy()
         order = np.lexsort((srcs, keys))
-        keys, ids, srcs = keys[order], ids[order], srcs[order]
-        a_out, b_out, s_out = [], [], []
+        keys, ids, srcs, auxs = (keys[order], ids[order], srcs[order],
+                                 auxs[order])
+        a_out, b_out, s_out, x_out = [], [], [], []
         change = np.nonzero((keys[1:] != keys[:-1])
                             | (srcs[1:] != srcs[:-1]))[0] + 1
         starts = np.concatenate(([0], change))
@@ -226,21 +243,28 @@ def multi_candidate_pairs(signatures_ds, cfg: PipelineConfig, *,
             a_out.append(lo)
             b_out.append(hi)
             s_out.append(srcs[s2][ok])
+            x_out.append(np.minimum(auxs[s2], auxs[s2 + 1])[ok])
         # slow path: runs of ≥3 (rare; skew policy applies)
         for r in np.nonzero(counts >= 3)[0]:
             s, c = starts[r], counts[r]
             code = int(srcs[s])
+            u, uidx = np.unique(ids[s:s + c], return_index=True)
             a, b = pairs_within(ids[s:s + c], cap,
                                 skip_by_src.get(code))
             a_out.append(a)
             b_out.append(b)
             s_out.append(np.full(len(a), code, dtype=np.int8))
+            ua = auxs[s:s + c][uidx]
+            x_out.append(np.minimum(
+                ua[np.searchsorted(u, a)], ua[np.searchsorted(u, b)]))
         a_all = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
         b_all = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
         s_all = np.concatenate(s_out) if s_out else np.empty(0, np.int8)
+        x_all = np.concatenate(x_out) if x_out else np.empty(0, np.int8)
         return pa.Table.from_arrays(
             [pa.array(a_all), pa.array(b_all),
-             pa.array(s_all, type=pa.int8())],
+             pa.array(s_all, type=pa.int8()),
+             pa.array(x_all.astype(np.int8))],
             schema=out_schema)
 
     return parts.map_batches(block_fn, batch_format="pyarrow",
@@ -383,8 +407,9 @@ def union_pair_sources(*pair_datasets, min_suffix_hits: int = 1,
         a = t.column("a").to_numpy()
         b = t.column("b").to_numpy()
         src = t.column("src").to_numpy().astype(np.int32)
+        aux = t.column("aux").to_numpy().astype(np.int64)
         order = np.lexsort((b, a))
-        a, b, src = a[order], b[order], src[order]
+        a, b, src, aux = a[order], b[order], src[order], aux[order]
         change = np.nonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1]))[0] + 1
         starts = np.concatenate(([0], change))
 
@@ -392,10 +417,16 @@ def union_pair_sources(*pair_datasets, min_suffix_hits: int = 1,
         run_or = np.bitwise_or.reduceat(bits, starts)
         suffix_hits = np.add.reduceat(
             (src == SUFFIX_CODE).astype(np.int64), starts)
+        # the achievable-hit bound: a pair whose smaller side emitted
+        # only k < min_suffix_hits anchors can share at most k anchor
+        # buckets even under full containment — cap the threshold
+        # there (aux is ≥1 on suffix rows, 0 on others; max over the
+        # run recovers the suffix rows' bound)
+        run_aux = np.maximum.reduceat(aux, starts)
+        required = np.maximum(1, np.minimum(min_suffix_hits, run_aux))
         suffix_bit = 1 << SUFFIX_CODE
         final_mask = run_or & ~suffix_bit
-        final_mask |= np.where(suffix_hits >= min_suffix_hits,
-                               suffix_bit, 0)
+        final_mask |= np.where(suffix_hits >= required, suffix_bit, 0)
         emit = final_mask != 0
         s_emit = starts[emit]
         names = MASK_LUT[final_mask[emit]]

@@ -98,6 +98,39 @@ def test_physical_plan_equivalence(ray_session, corpus_dir, oracle):
     assert _pair_set(res) == opairs
 
 
+def test_tiny_doc_tail_containment(ray_session):
+    """A 5-word tail of a 10-word doc has exactly ONE 5-shingle, so it
+    can share at most one anchor bucket — the suffix co-occurrence
+    threshold must cap at the achievable-hit bound (min of the sides'
+    anchor counts) or the pair is structurally unreachable (regression:
+    planted tail of doc 275 at sf0.01 was missed under a flat
+    min_anchor_hits=2)."""
+    import ray.data as rd
+
+    text = "alpha row beta window merge hash window group order join"
+    tail = " ".join(text.split()[5:])
+    mk = (lambda t: f"<html><head><title>x</title></head>"
+          f"<body><p>{t}</p></body></html>".encode())
+    # decoy singletons so the corpus isn't degenerate
+    decoys = [f"decoy{u} " * 12 for u in range(6)]
+    rows = [(0, "https://a.example.org/0", text),
+            (2, "https://a.example.org/0/tail", tail)] + [
+        (10 + 4 * u, f"https://d.example.org/{u}", d)
+        for u, d in enumerate(decoys)]
+    t = pa.table({
+        "page_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "url": pa.array([r[1] for r in rows]),
+        "warc_ts": pa.array([0] * len(rows),
+                            type=pa.timestamp("us")),
+        "html": pa.array([mk(r[2]) for r in rows], type=pa.binary()),
+        "lang": pa.array(["en"] * len(rows)),
+    })
+    res = run_dedup(rd.from_arrow(t), PipelineConfig())
+    assert (0, 2) in _pair_set(res)
+    labels = _cluster_dict(res)
+    assert labels[0] == labels[2]
+
+
 def test_checkpoint_resume(ray_session, corpus_dir, oracle, tmp_path):
     labels, _ = oracle
     out = str(tmp_path / "ckpt")
