@@ -244,7 +244,7 @@ def q_pii_scrub(sf_dir: str):
     def fn(t: pa.Table) -> pa.Table:
         out = scrub_pii(inject_pii(t))
         return out.select(["page_id", "n_email", "n_phone", "n_ip",
-                           "clean_text"])
+                           "n_ssn", "n_ccn", "n_iban", "clean_text"])
 
     return _pages(sf_dir, include_html=False).map_batches(
         fn, batch_format="pyarrow")
@@ -1325,13 +1325,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def web_clean_oracle() -> str:
-    from nxsearch_ray.stages.pii import pii_inject_sql, pii_select_sql
+    from nxsearch_ray.stages.pii import (pii_inject_sql,
+                                         pii_scrub_sql_ctes)
     from nxsearch_ray.stages.textstats import gopher_filter_sql
     from nxsearch_ray.stages.urlfilter import DOMAIN_RE
 
     keep = gopher_filter_sql("text", min_words=20,
                              min_required_stopwords=1)["keep"]
     quoted = ", ".join(f"'{d}'" for d in sorted(set(_BLOCKLIST)))
+    ctes, out = pii_scrub_sql_ctes("inj")
     return f"""
 WITH {PAGES_CTE},
 flt AS (SELECT page_id, text FROM pages
@@ -1341,24 +1343,28 @@ qual AS (SELECT page_id, text FROM flt WHERE {keep}),
 inj AS (SELECT page_id,
                {pii_inject_sql('text', 'page_id')} AS text
         FROM qual),
-scr AS (SELECT page_id, {pii_select_sql('text')} FROM inj)
+{ctes}
 SELECT min(page_id) AS canonical_page_id,
        count(*) AS n_pages,
        sum(n_email)::BIGINT AS n_email
-FROM scr GROUP BY clean_text
+FROM {out} GROUP BY clean_text
 """
 
 
 def pii_scrub_oracle() -> str:
-    from nxsearch_ray.stages.pii import pii_inject_sql, pii_select_sql
+    from nxsearch_ray.stages.pii import (pii_inject_sql,
+                                         pii_scrub_sql_ctes)
 
+    ctes, out = pii_scrub_sql_ctes("inj")
     return f"""
 WITH {PAGES_CTE},
 inj AS (SELECT page_id,
                {pii_inject_sql('text', 'page_id')} AS text
-        FROM pages)
-SELECT page_id, {pii_select_sql('text')}
-FROM inj
+        FROM pages),
+{ctes}
+SELECT page_id, n_email, n_phone, n_ip, n_ssn, n_ccn, n_iban,
+       clean_text
+FROM {out}
 """
 
 

@@ -82,6 +82,16 @@ def oracle_clusters(pages: pa.Table, cfg: PipelineConfig
             a_arr, b_arr = pairs_within(
                 np.asarray(members, dtype=np.int64), cfg.hot_bucket_cap,
                 skip)
+            if source == "simhash" and len(a_arr):
+                # in-bucket Hamming filter (pairs.multi_candidate_pairs
+                # applies the same rule): a w-bit chunk collides by
+                # chance between unrelated docs; only true Hamming-
+                # close pairs leave the bucket
+                ia = np.array([row[int(a)] for a in a_arr])
+                ib = np.array([row[int(b)] for b in b_arr])
+                keep = H.hamming64(sim[ia], sim[ib]) \
+                    <= cfg.simhash_hamming
+                a_arr, b_arr = a_arr[keep], b_arr[keep]
             for a, b in zip(a_arr.tolist(), b_arr.tolist()):
                 pair_counts[(a, b)][source] += 1
 

@@ -39,7 +39,7 @@ import time
 PAGE_COLUMNS = ("page_id", "url", "warc_ts", "html", "text", "lang")
 
 
-def _load_pages(input_dir: str, cfg):
+def _load_pages(input_dir: str, cfg, out_dir: str | None = None):
     import pyarrow as pa
     import ray.data as rd
 
@@ -48,12 +48,23 @@ def _load_pages(input_dir: str, cfg):
             os.path.isdir(input_dir) and any(
                 f.endswith((".warc", ".warc.gz"))
                 for f in os.listdir(input_dir))):
-        from nxsearch_ray.sources.warc import pages_from_warc
+        from nxsearch_ray.sources.warc import (ingest_warc_resumable,
+                                               pages_from_warc)
 
         paths = [input_dir] if os.path.isfile(input_dir) else [
             os.path.join(input_dir, f)
             for f in sorted(os.listdir(input_dir))
             if f.endswith((".warc", ".warc.gz"))]
+        if out_dir is not None:
+            # file-granular resumable ingest: a run killed mid-ingest
+            # skips archives whose completion sidecar already landed
+            from nxsearch_ray.sources.io import read_parquet_clean
+
+            ingest_dir = os.path.join(out_dir, "ingest_warc")
+            stats = ingest_warc_resumable(paths, ingest_dir)
+            print(json.dumps({"warc_ingest": stats}))
+            return read_parquet_clean(ingest_dir,
+                                      file_extensions=["parquet"])
         return pages_from_warc(paths)
 
     ds = rd.read_parquet(input_dir, file_extensions=["parquet"])
@@ -144,7 +155,7 @@ def main(argv=None) -> int:
             ids = [int(line) for line in f if line.strip()]
         result = run_dedup_remove(ids, cfg, **run_kw)
     else:
-        pages = _load_pages(args.input, cfg)
+        pages = _load_pages(args.input, cfg, out_dir=args.output)
         if args.check_ids:
             from nxsearch_ray.stages.diagnostics import duplicate_page_ids
 

@@ -31,6 +31,8 @@ payload, feeding the extraction stage.
 from __future__ import annotations
 
 import gzip
+import json
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -148,6 +150,82 @@ def pages_from_warc(paths, *, lang: str = ""):
 
     return ds.map_batches(to_pages, batch_format="pyarrow",
                           batch_size=1)
+
+
+def _ingest_name(path: str) -> str:
+    """Stable output stem for one archive: basename + short path hash
+    (stems can repeat across directories)."""
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+    base = os.path.basename(path)
+    for suf in (".warc.gz", ".warc"):
+        if base.endswith(suf):
+            base = base[:-len(suf)]
+            break
+    return f"{base}-{h}"
+
+
+def _ingest_done(ingest_dir: str, path: str) -> bool:
+    """An archive is done when its sidecar manifest exists and matches
+    the source file's current (size, mtime) — a re-crawled/replaced
+    archive re-ingests."""
+    side = os.path.join(ingest_dir, _ingest_name(path) + ".json")
+    if not os.path.exists(side):
+        return False
+    try:
+        with open(side) as f:
+            m = json.load(f)
+        st = os.stat(path)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return (m.get("size") == st.st_size
+            and m.get("mtime_ns") == st.st_mtime_ns)
+
+
+def ingest_warc_resumable(paths: list[str], ingest_dir: str, *,
+                          lang: str = "") -> dict:
+    """File-granular resumable WARC ingest — the 100-TB ingest unit is
+    the archive file (one CommonCrawl segment ≈ 1 GB), so resume must
+    be file-granular too, not stage-granular: a run killed mid-ingest
+    re-parses only the archives whose completion sidecar is missing.
+
+    One Ray task per pending archive parses it and writes
+    ``<ingest_dir>/<stem>.parquet`` via tmp + atomic rename, then the
+    sidecar ``<stem>.json`` (written LAST — its presence is the
+    completion marker, recording the source's size/mtime so a changed
+    archive re-ingests).  Completed archives are never re-read.
+
+    Returns ``{"parsed": n, "skipped": n}``; read the pages back with
+    ``read_parquet_clean(ingest_dir, file_extensions=["parquet"])``."""
+    import ray
+
+    os.makedirs(ingest_dir, exist_ok=True)
+    pending = [p for p in paths if not _ingest_done(ingest_dir, p)]
+
+    @ray.remote
+    def _one(path: str) -> int:
+        import pyarrow.parquet as pq
+
+        with open(path, "rb") as f:
+            t = warc_bytes_to_pages(f.read(), lang=lang)
+        stem = _ingest_name(path)
+        out = os.path.join(ingest_dir, stem + ".parquet")
+        tmp = out + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, out)
+        st = os.stat(path)
+        side_tmp = os.path.join(ingest_dir, stem + ".json.tmp")
+        with open(side_tmp, "w") as f:
+            json.dump({"source": os.path.abspath(path),
+                       "size": st.st_size,
+                       "mtime_ns": st.st_mtime_ns,
+                       "rows": t.num_rows}, f)
+        os.replace(side_tmp, os.path.join(ingest_dir, stem + ".json"))
+        return t.num_rows
+
+    ray.get([_one.remote(p) for p in pending])
+    return {"parsed": len(pending), "skipped": len(paths) - len(pending)}
 
 
 # ------------------------------------------------------------------

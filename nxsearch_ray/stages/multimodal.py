@@ -178,6 +178,17 @@ class ImageResizeActor:
         self.binary_col = binary_col
         self.id_col = id_col
         self.fake = deterministic_fake
+        # optional-library route (probed ONCE per actor): where Pillow
+        # exists, WebP/AVIF/... decode through it behind the same
+        # interface; the pure-numpy codec stays the first path
+        self._pil = None
+        if not deterministic_fake:
+            try:
+                from PIL import Image
+
+                self._pil = Image
+            except ImportError:
+                pass
 
     def _resize_real(self, p: bytes) -> bytes:
         from nxsearch_ray.functions.imagecodec import (
@@ -187,11 +198,16 @@ class ImageResizeActor:
         )
 
         arr = decode_image(p)
+        if arr is None and self._pil is not None:
+            import io
+
+            arr = np.asarray(
+                self._pil.open(io.BytesIO(p)).convert("RGB"))
         if arr is None:
             raise NotImplementedError(
                 "payload is not a PPM/PGM/BMP/PNG/baseline-JPEG "
-                "image — WebP/AVIF resize is a declared stub in this "
-                "environment")
+                "image and Pillow is not installed — WebP/AVIF resize "
+                "is a declared stub in this environment")
         return encode_ppm(resize_nearest(arr, self.tw, self.th))
 
     def _resize_fake(self, p: bytes) -> bytes:
@@ -254,6 +270,16 @@ class AudioFeatureActor:
         self.binary_col = binary_col
         self.id_col = id_col
         self.fake = deterministic_fake
+        # optional-library route (probed ONCE per actor): soundfile
+        # decodes FLAC/OGG/... where installed; WAV stays pure-numpy
+        self._sf = None
+        if not deterministic_fake:
+            try:
+                import soundfile
+
+                self._sf = soundfile
+            except ImportError:
+                pass
 
     def _fake(self, payloads: list[bytes], lens, h) -> pa.Table:
         feats = np.empty((len(payloads), FEATURE_DIM), dtype=np.float32)
@@ -275,10 +301,18 @@ class AudioFeatureActor:
         feats = np.zeros((n, FEATURE_DIM), dtype=np.float32)
         for i, p in enumerate(payloads):
             got = decode_wav(p)
+            if got is None and self._sf is not None:
+                import io
+
+                data, rate = self._sf.read(io.BytesIO(p),
+                                           dtype="float32")
+                if data.ndim > 1:       # downmix like decode_wav
+                    data = data.mean(axis=1)
+                got = (data, int(rate))
             if got is None:
                 raise NotImplementedError(
                     "payload is not an uncompressed RIFF/WAVE file and "
-                    "no audio codec library is installed — "
+                    "no audio codec library (soundfile) is installed — "
                     "compressed-format decode is a declared stub in "
                     "this environment")
             samples, rate = got
@@ -356,6 +390,16 @@ class VideoFrameSampleActor:
         self.binary_col = binary_col
         self.id_col = id_col
         self.fake = deterministic_fake
+        # optional-library route (probed ONCE per actor): imageio's
+        # ffmpeg plugin decodes inter-frame codecs where installed
+        self._iio = None
+        if not deterministic_fake:
+            try:
+                import imageio.v3 as iio
+
+                self._iio = iio
+            except ImportError:
+                pass
 
     def _emit_fake(self, p: bytes, emit) -> None:
         p = p or b"\x00"
@@ -373,12 +417,20 @@ class VideoFrameSampleActor:
         from nxsearch_ray.functions.videocodec import parse_video
 
         vid = parse_video(p or b"")
+        if vid is None and self._iio is not None:
+            frames = list(self._iio.imiter(p, plugin="pyav"))
+            take = min(self.num_frames, len(frames))
+            for i in range(take):
+                src = (i * len(frames)) // max(take, 1)
+                emit(i, src / self.FPS,
+                     np.asarray(frames[src]).tobytes())
+            return
         if vid is None:
             raise NotImplementedError(
                 "payload is neither YUV4MPEG2 nor MJPEG/AVI and no "
-                "video codec library is installed — inter-frame "
-                "codec (H.264/VP9) decode is a declared stub in "
-                "this environment")
+                "video codec library (imageio+pyav/ffmpeg) is "
+                "installed — inter-frame codec (H.264/VP9) decode is "
+                "a declared stub in this environment")
         take = min(self.num_frames, vid.n_frames)
         for i in range(take):
             src = (i * vid.n_frames) // max(take, 1)

@@ -144,8 +144,8 @@ def explode_all(cfg_json: str):
             keys_out.append(keys)
             page_out.append(pages)
             src_out.append(np.full(len(keys), code, dtype=np.int8))
-            aux_out.append(np.zeros(len(keys), dtype=np.int8)
-                           if aux is None else aux)
+            aux_out.append(np.zeros(len(keys), dtype=np.int64)
+                           if aux is None else aux.astype(np.int64))
 
         # exact (src 0): seq_hash, salted
         seqh = batch.column("seq_hash").to_numpy().astype(_U64)
@@ -157,7 +157,15 @@ def explode_all(cfg_json: str):
         bkeys = H.band_keys(sig, cfg.lsh_bands, cfg.lsh_rows, cfg.seed)
         add(bkeys.reshape(-1), np.repeat(page, cfg.lsh_bands), 1)
 
-        # simhash chunks (src 2)
+        # simhash chunks (src 2); aux = the full 64-bit fingerprint so
+        # the bucket scan can apply the TRUE Hamming test in-bucket.
+        # A w-bit chunk key collides by pure chance between unrelated
+        # docs at rate ~n²/2^w per chunk — 8.5M of 8.6M candidate
+        # pairs at 520k pages (measured round 4) were such chance
+        # pairs, flooding the verify exchanges; at 10^12 docs the
+        # unfiltered pass is unusable.  Filtering in-bucket emits only
+        # pairs at Hamming ≤ cfg.simhash_hamming — exactly the rule
+        # verification enforces for this source.
         sim = batch.column("simhash").to_numpy().astype(_U64)
         ckeys = np.empty((ndocs, nchunks), dtype=_U64)
         mask = _U64((1 << width) - 1)
@@ -165,11 +173,12 @@ def explode_all(cfg_json: str):
             chunk = (sim >> _U64(c * width)) & mask
             ckeys[:, c] = H.splitmix64(chunk ^ H.splitmix64(
                 np.array(c + 0x5151, dtype=_U64)))
-        add(ckeys.reshape(-1), np.repeat(page, nchunks), 2)
+        add(ckeys.reshape(-1), np.repeat(page, nchunks), 2,
+            np.repeat(sim.view(np.int64), nchunks))
 
-        # anchors (src 3); aux = the emitting page's anchor count
-        # (capped at 127): a fully-contained small doc can share at
-        # most min(n_anchors_a, n_anchors_b) anchor buckets, so the
+        # anchors (src 3); aux = the emitting page's anchor count: a
+        # fully-contained small doc can share at most
+        # min(n_anchors_a, n_anchors_b) anchor buckets, so the
         # co-occurrence threshold downstream must cap at that — a
         # tail/copy of a <2-shingle doc is otherwise structurally
         # unreachable by the containment pass (found at sf0.01:
@@ -177,14 +186,13 @@ def explode_all(cfg_json: str):
         a_flat, a_off = list_column_numpy(batch.column("anchors"))
         counts = a_off[1:] - a_off[:-1]
         add(H.splitmix64(a_flat ^ _U64(0xA3)),
-            np.repeat(page, counts), 3,
-            np.repeat(np.minimum(counts, 127).astype(np.int8), counts))
+            np.repeat(page, counts), 3, np.repeat(counts, counts))
 
         return pa.Table.from_arrays(
             [pa.array(np.concatenate(keys_out), type=pa.uint64()),
              pa.array(np.concatenate(page_out), type=pa.int64()),
              pa.array(np.concatenate(src_out), type=pa.int8()),
-             pa.array(np.concatenate(aux_out), type=pa.int8())],
+             pa.array(np.concatenate(aux_out), type=pa.int64())],
             names=["bucket_key", "page_id", "src", "aux"])
 
     return fn
@@ -205,14 +213,17 @@ def multi_candidate_pairs(signatures_ds, cfg: PipelineConfig, *,
     parts = hash_partitioned(keyed, ["bucket_key"], num_partitions)
     cap = cfg.hot_bucket_cap
     skip_by_src = {3: cfg.anchor_bucket_max}
+    SIMHASH_CODE = SRC_NAMES.index("simhash")
+    max_ham = cfg.simhash_hamming
     # pair rows carry the int8 source CODE, not the name: the pair
     # stream is the widest intermediate and strings triple its width.
-    # aux = min over the pair of the members' emission counts (anchor
-    # counts for suffix rows, 0 elsewhere) — the achievable hit bound
-    # union_pair_sources caps the suffix co-occurrence threshold at.
+    # aux = min over the pair of the members' anchor counts for suffix
+    # rows (the achievable hit bound union_pair_sources caps the
+    # co-occurrence threshold at), 0 elsewhere; simhash pairs are
+    # Hamming-filtered HERE (aux carries the fingerprint) and emit 0.
     out_schema = pa.schema([
         ("a", pa.int64()), ("b", pa.int64()), ("src", pa.int8()),
-        ("aux", pa.int8())])
+        ("aux", pa.int64())])
 
     def block_fn(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -237,13 +248,21 @@ def multi_candidate_pairs(signatures_ds, cfg: PipelineConfig, *,
         if len(s2):
             x = ids[s2]
             y = ids[s2 + 1]
+            code2 = srcs[s2]
             ok = x != y
+            is_sim = code2 == SIMHASH_CODE
+            if is_sim.any():
+                ham = H.hamming64(auxs[s2].view(_U64),
+                                  auxs[s2 + 1].view(_U64))
+                ok &= ~is_sim | (ham <= max_ham)
             lo = np.minimum(x, y)[ok]
             hi = np.maximum(x, y)[ok]
             a_out.append(lo)
             b_out.append(hi)
-            s_out.append(srcs[s2][ok])
-            x_out.append(np.minimum(auxs[s2], auxs[s2 + 1])[ok])
+            s_out.append(code2[ok])
+            pair_aux = np.minimum(auxs[s2], auxs[s2 + 1])
+            pair_aux[is_sim] = 0
+            x_out.append(pair_aux[ok])
         # slow path: runs of ≥3 (rare; skew policy applies)
         for r in np.nonzero(counts >= 3)[0]:
             s, c = starts[r], counts[r]
@@ -251,20 +270,28 @@ def multi_candidate_pairs(signatures_ds, cfg: PipelineConfig, *,
             u, uidx = np.unique(ids[s:s + c], return_index=True)
             a, b = pairs_within(ids[s:s + c], cap,
                                 skip_by_src.get(code))
+            ua = auxs[s:s + c][uidx]
+            xa = ua[np.searchsorted(u, a)]
+            xb = ua[np.searchsorted(u, b)]
+            if code == SIMHASH_CODE:
+                keep = H.hamming64(xa.view(_U64),
+                                   xb.view(_U64)) <= max_ham
+                a, b = a[keep], b[keep]
+                pair_aux = np.zeros(len(a), dtype=np.int64)
+            else:
+                pair_aux = np.minimum(xa, xb)
             a_out.append(a)
             b_out.append(b)
             s_out.append(np.full(len(a), code, dtype=np.int8))
-            ua = auxs[s:s + c][uidx]
-            x_out.append(np.minimum(
-                ua[np.searchsorted(u, a)], ua[np.searchsorted(u, b)]))
+            x_out.append(pair_aux)
         a_all = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
         b_all = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
         s_all = np.concatenate(s_out) if s_out else np.empty(0, np.int8)
-        x_all = np.concatenate(x_out) if x_out else np.empty(0, np.int8)
+        x_all = np.concatenate(x_out) if x_out else np.empty(0, np.int64)
         return pa.Table.from_arrays(
             [pa.array(a_all), pa.array(b_all),
              pa.array(s_all, type=pa.int8()),
-             pa.array(x_all.astype(np.int8))],
+             pa.array(x_all.astype(np.int64))],
             schema=out_schema)
 
     return parts.map_batches(block_fn, batch_format="pyarrow",
@@ -420,9 +447,10 @@ def union_pair_sources(*pair_datasets, min_suffix_hits: int = 1,
         # the achievable-hit bound: a pair whose smaller side emitted
         # only k < min_suffix_hits anchors can share at most k anchor
         # buckets even under full containment — cap the threshold
-        # there (aux is ≥1 on suffix rows, 0 on others; max over the
-        # run recovers the suffix rows' bound)
-        run_aux = np.maximum.reduceat(aux, starts)
+        # there (aux is ≥1 on suffix rows; mask other sources' aux to
+        # 0 before the run max so only the suffix bound survives)
+        run_aux = np.maximum.reduceat(
+            np.where(src == SUFFIX_CODE, aux, 0), starts)
         required = np.maximum(1, np.minimum(min_suffix_hits, run_aux))
         suffix_bit = 1 << SUFFIX_CODE
         final_mask = run_or & ~suffix_bit

@@ -315,26 +315,102 @@ def verify_pairs_broadcast(pairs_ds, idx_ref, cfg: PipelineConfig,
         **kwargs)
 
 
+def _pack_payload(t: pa.Table, num_perms: int) -> pa.Table:
+    """Slim signature row → ONE binary blob per page:
+    ``[mh_res P bytes][simhash 8 LE][bottomk 4 LE × k]``.
+
+    The pair join ships the payload through two hash exchanges with
+    every role row carrying NULLS for the payload columns; a
+    fixed_size_list<uint8, P> column allocates its P-byte child even
+    for null rows (≈400 MB of shuffled zeros at 520k pages / 1.5M
+    candidates, measured round 4), and each per-block gather copies
+    three typed columns.  One variable-width binary column makes null
+    rows cost 4 offset bytes and every gather a single memcpy."""
+    n = t.num_rows
+    mh_flat, _ = list_column_numpy(t.column("mh_res"), dtype=np.uint8)
+    mh = mh_flat.reshape(n, num_perms)
+    sim = t.column("simhash").to_numpy().astype("<u8")
+    bk_flat, bk_off = list_column_numpy(t.column("bottomk"),
+                                        dtype=np.uint32)
+    bk_counts = (bk_off[1:] - bk_off[:-1]).astype(np.int64)
+    head = num_perms + 8
+    lens = head + 4 * bk_counts
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    out = np.empty(offs[-1], dtype=np.uint8)
+    starts = offs[:-1]
+    out[starts[:, None] + np.arange(num_perms)] = mh
+    out[starts[:, None] + num_perms + np.arange(8)] = \
+        sim.view(np.uint8).reshape(n, 8)
+    total_bk = int(bk_counts.sum()) * 4
+    if total_bk:
+        bstart = starts + head
+        blens = 4 * bk_counts
+        intra = np.arange(total_bk) - np.repeat(
+            np.concatenate(([0], np.cumsum(blens)))[:-1], blens)
+        out[np.repeat(bstart, blens) + intra] = \
+            bk_flat.astype("<u4").view(np.uint8)
+    blob = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+         pa.py_buffer(out.tobytes())])
+    return pa.table({"page_id": t.column("page_id"), "blob": blob})
+
+
+def _unpack_blobs(col, num_perms: int):
+    """Binary blob column → (mh (n,P) uint8, simhash (n,) uint64,
+    bk_flat uint32, bk_offsets int64) — vectorized gathers only."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    raw_offs = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    offs = raw_offs[col.offset:col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    starts = offs[:-1]
+    head = num_perms + 8
+    mh = data[starts[:, None] + np.arange(num_perms)]
+    sim = data[starts[:, None] + num_perms + np.arange(8)] \
+        .copy().view("<u8").reshape(-1).astype(np.uint64)
+    blens = offs[1:] - starts - head
+    total = int(blens.sum())
+    if total:
+        intra = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(blens)))[:-1], blens)
+        bk_bytes = data[np.repeat(starts + head, blens) + intra].copy()
+        bk_flat = bk_bytes.view("<u4").astype(np.uint32)
+    else:
+        bk_flat = np.empty(0, dtype=np.uint32)
+    bk_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(blens // 4, out=bk_off[1:])
+    return mh, sim, bk_flat, bk_off
+
+
 def verify_pairs_bucketed(pairs_ds, sig_ds, cfg: PipelineConfig,
                           num_buckets: int = 64):
     """Scale path: one fused pair-payload join (stages/join.pair_join —
-    the signature payload rides each of its two shuffles exactly once)
-    then a stateless score.  Decision math identical to the broadcast
-    path (shared helpers)."""
+    the signature payload rides each of its two shuffles exactly once,
+    packed into a single binary blob per endpoint, see
+    ``_pack_payload``) then a stateless score.  Decision math
+    identical to the broadcast path (shared helpers)."""
     from nxsearch_ray.stages.join import pair_join
+    from nxsearch_ray.stages.shuffle import cluster_cpus
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                              ("source", pa.string())])
-    sig_schema = pa.schema([
-        ("page_id", pa.int64()),
-        ("mh_res", pa.list_(pa.uint8(), cfg.num_perms)),
-        ("simhash", pa.uint64()),
-        ("bottomk", pa.list_(pa.uint32()))])
+    sig_schema = pa.schema([("page_id", pa.int64()),
+                            ("blob", pa.binary())])
 
-    sig_slim = sig_ds.select_columns(
-        ["page_id", "mh_res", "simhash", "bottomk"])
-    j2 = pair_join(pairs_ds, sig_slim, right_key="page_id",
-                   pair_schema=pair_schema, right_schema=sig_schema)
+    P = cfg.num_perms
+    packed = sig_ds.select_columns(
+        ["page_id", "mh_res", "simhash", "bottomk"]) \
+        .map_batches(lambda t: _pack_payload(t, P),
+                     batch_format="pyarrow")
+    # full-width exchange parallelism: these two exchanges ARE the
+    # verify stage at scale; half-width (the small-scale default)
+    # leaves half the cluster idle through its dominant phase
+    j2 = pair_join(pairs_ds, packed, right_key="page_id",
+                   pair_schema=pair_schema, right_schema=sig_schema,
+                   num_partitions=max(8, cluster_cpus()))
 
     cfg_json = cfg.to_json()
 
@@ -342,24 +418,17 @@ def verify_pairs_bucketed(pairs_ds, sig_ds, cfg: PipelineConfig,
         c = PipelineConfig.from_json(cfg_json)
         if t.num_rows == 0:
             return SCORED_SCHEMA.empty_table()
-        mh_a, _ = list_column_numpy(t.column("mh_res_a"),
-                                    dtype=np.uint8)
-        mh_b, _ = list_column_numpy(t.column("mh_res_b"),
-                                    dtype=np.uint8)
-        mh_a = mh_a.reshape(t.num_rows, c.num_perms)
-        mh_b = mh_b.reshape(t.num_rows, c.num_perms)
+        n = t.num_rows
+        mh_a, sim_a, bka_flat, bka_off = _unpack_blobs(
+            t.column("blob_a"), c.num_perms)
+        mh_b, sim_b, bkb_flat, bkb_off = _unpack_blobs(
+            t.column("blob_b"), c.num_perms)
         est_j = (mh_a == mh_b).mean(axis=1)
-        ham = H.hamming64(t.column("simhash_a").to_numpy().astype(_U64),
-                          t.column("simhash_b").to_numpy().astype(_U64))
+        ham = H.hamming64(sim_a, sim_b)
         # stack both docs' sketches into one flat+offsets layout so the
         # shared bottom-k helper applies
-        bka_flat, bka_off = list_column_numpy(t.column("bottomk_a"),
-                                              dtype=np.uint32)
-        bkb_flat, bkb_off = list_column_numpy(t.column("bottomk_b"),
-                                              dtype=np.uint32)
         flat = np.concatenate([bka_flat, bkb_flat])
         off = np.concatenate([bka_off, bka_off[-1] + bkb_off[1:]])
-        n = t.num_rows
         ia = np.arange(n)
         ib = np.arange(n) + n
         jac_bk, con_bk = bottomk_pair_scores(flat, off, ia, ib, c.bottomk)

@@ -82,3 +82,28 @@ def test_ann_exhaustive_probe_losslessness(ray_session):
         t = fn("/root/testdata/sf0.001")
         assert t.column("n_common").to_pylist() \
             == t.column("k").to_pylist()
+
+
+def test_dedup_planted_pair_recall_invariants(ray_session):
+    """Round-4 oracles: every planted copy/tail pair is a verified
+    pair (`found` all-True) and every planted variant group lands in
+    ONE cluster at least as large as the group (sf0.001)."""
+    import pyarrow as pa
+
+    def as_table(x):
+        if isinstance(x, pa.Table):
+            return x
+        return pa.concat_tables(
+            b for b in x.iter_batches(batch_format="pyarrow",
+                                      batch_size=1 << 20))
+
+    pairs = as_table(entry_mod.q_dedup_pairs("/root/testdata/sf0.001"))
+    assert pairs.num_rows > 0
+    assert set(pairs.column("found").to_pylist()) == {True}
+    assert set(pairs.column("variant").to_pylist()) == {"copy", "tail"}
+
+    groups = as_table(
+        entry_mod.q_cluster_sizes("/root/testdata/sf0.001"))
+    assert groups.num_rows > 0
+    assert set(groups.column("n_clusters").to_pylist()) == {1}
+    assert set(groups.column("cluster_size_ok").to_pylist()) == {True}

@@ -60,6 +60,24 @@ NFKC_CF_CASES = [
     ("x²y₃", "x2y3"),
     # default ignorables removed (soft hyphen, ZWSP, ZWJ, word joiner)
     ("a­b​c‍d⁠e", "abcde"),
+    # Arabic presentation forms (Forms-A/B → base letters; the
+    # word-ligatures expand to full phrases, U+FDFA even with spaces)
+    ("ﻻ", "لا"),                            # lam-alef ligature
+    ("ﷲ", "الله"),                          # Allah ligature
+    ("ﷺ", "صلى الله عليه وسلم"),
+    ("﷼", "ریال"),                          # rial sign
+    ("ﭐ", "ٱ"),                             # alef wasla isolated form
+    ("ﱠ", " َّ"),                            # shadda+fatha lig → space+marks
+    ("ﴀ", "حي"),                            # initial-form word ligature
+    ("ﬡ", "א"),                             # Hebrew wide alef
+    # enclosed / squared CJK and era names
+    ("㏒2", "log2"),
+    ("㋿", "令和"),                          # Reiwa era square
+    ("㊀", "一"),
+    ("︽test︾", "《test》"),                # vertical forms → canonical
+    ("Ｔｅｓｔ！", "test!"),
+    # kana voicing marks compose (NFC step); both scripts stable
+    ("ゔ", "ゔ"), ("ヴ", "ヴ"), ("が", "が"),
 ]
 
 
@@ -146,6 +164,23 @@ SEGMENT_CASES = [
     ("[client] <foo> *bold*", ["client", "foo", "bold"]),
     ("x+y=z", ["x", "y", "z"]),
     ("€5 #tag @user", ["5", "tag", "user"]),
+    # real-text multilingual parity (space-delimited scripts agree
+    # with ICU UBRK_WORD exactly: marks/viramas glue via WB4)
+    ("한국어 텍스트 처리", ["한국어", "텍스트", "처리"]),
+    ("इस शब्द का अर्थ", ["इस", "शब्द", "का", "अर्थ"]),
+    ("தமிழ் மொழி", ["தமிழ்", "மொழி"]),
+    ("বাংলা ভাষা", ["বাংলা", "ভাষা"]),
+    ("العربية لغة جميلة", ["العربية", "لغة", "جميلة"]),
+    # fully-vocalized Arabic: harakat are Extend, one token
+    ("اَلْعَرَبِيَّةُ", ["اَلْعَرَبِيَّةُ"]),
+    # Hebrew with niqqud: points are Extend, one token per word
+    ("שָׁלוֹם עוֹלָם", ["שָׁלוֹם", "עוֹלָם"]),
+    ("русский язык тест", ["русский", "язык", "тест"]),
+    ("ελληνικά κείμενα", ["ελληνικά", "κείμενα"]),
+    ("Tiếng Việt rất hay", ["Tiếng", "Việt", "rất", "hay"]),
+    # katakana middle dot (U+30FB) breaks — matches ICU (it is not
+    # MidLetter; WB13 joins Katakana×Katakana only across nothing)
+    ("ウェブ・サイト", ["ウェブ", "サイト"]),
 ]
 
 
@@ -187,3 +222,43 @@ def test_divergence_mark_before_joiner():
     token still joins — same RESULT as ICU for this shape, pinned so a
     regression is loud."""
     assert segment_words("café's x") == ["café's", "x"]
+
+
+def test_divergence_cjk_dictionary_segmentation():
+    """ICU's UBRK_WORD runs a DICTIONARY segmenter for Han / Kana /
+    Thai (unspaced scripts): 日本語のテキストです → 日本語/の/テキスト/です,
+    中文分词很难 → 中文/分词/很难, and Thai text splits at syllable-word
+    boundaries.  The regex segmenter has no dictionary (a pure-Python
+    port of ICU's CJ dictionary is out of scope) and keeps each
+    unspaced run as ONE token — pinned; anything CJK-sensitive
+    downstream (shingling) sees runs, not dictionary words."""
+    assert segment_words("日本語のテキストです") == ["日本語のテキストです"]
+    assert segment_words("中文分词很难") == ["中文分词很难"]
+    assert segment_words("ひらがなとカタカナ") == ["ひらがなとカタカナ"]
+    assert segment_words("ภาษาไทยไม่มีช่องว่าง") == ["ภาษาไทยไม่มีช่องว่าง"]
+    # mixed-script runs stay joined too (ICU would break at the
+    # script boundary before dictionary lookup)
+    assert segment_words("日本語とEnglish混在") == ["日本語とEnglish混在"]
+    assert segment_words("321万円です") == ["321万円です"]
+
+
+def test_divergence_hebrew_geresh_gershayim():
+    """ICU WB7a keeps a Hebrew letter + geresh (U+05F3) together and
+    WB7b/c joins across gershayim (U+05F4) between Hebrew letters
+    (abbreviations like מ״שהו).  The regex word class has no
+    Hebrew_Letter special casing, so both split — pinned."""
+    assert segment_words("ישראל׳s") == ["ישראל", "s"]   # ICU: ישראל׳ s
+    assert segment_words("מ״שהו") == ["מ", "שהו"]        # ICU: מ״שהו
+
+
+def test_multilingual_strip_diacritics():
+    """Latin-ASCII-chain behavior on non-Latin scripts: harakat /
+    niqqud are Mn and strip; Devanagari vowel signs + virama are ALSO
+    Mn/Mc and strip (ICU's Latin-ASCII would leave Indic text alone —
+    pinned divergence: this transliterator is only applied to
+    search-normalized tokens, reference fp/lua filter parity)."""
+    assert strip_diacritics("العَرَبِية") == "العربية"
+    assert strip_diacritics("שָׁלוֹם") == "שלום"
+    assert strip_diacritics("नमस्ते") == "नमसत"          # pinned
+    assert strip_diacritics("ğüşıöç") == "gusioc"
+    assert strip_diacritics("ḠṺṦ") == "GUS"

@@ -819,3 +819,59 @@ def test_ngram_jaccard_sharded_plan_equivalence(ray_session):
     assert one.num_rows > 0          # the corpus must exercise pairs
     assert four.equals(one)
 
+
+
+def test_multimodal_optional_library_probes():
+    """The optional-library route is probed ONCE in __init__ (actor
+    pattern) on every modality; in this container the libraries are
+    absent so the probes must be None and the stub contract holds."""
+    from nxsearch_ray.stages.multimodal import (
+        AudioFeatureActor,
+        ImageFeatureActor,
+        ImageResizeActor,
+        VideoFrameSampleActor,
+    )
+
+    img = ImageFeatureActor(deterministic_fake=False)
+    rsz = ImageResizeActor(4, 4, deterministic_fake=False)
+    aud = AudioFeatureActor(deterministic_fake=False)
+    vid = VideoFrameSampleActor(2, deterministic_fake=False)
+    assert hasattr(img, "_pil") and hasattr(rsz, "_pil")
+    assert hasattr(aud, "_sf") and hasattr(vid, "_iio")
+    # fake-mode actors never probe (no import cost per constructor)
+    assert ImageResizeActor(4, 4, deterministic_fake=True)._pil is None
+
+
+def test_multimodal_pillow_route_if_available():
+    """Where Pillow exists, WebP decodes through the SAME actor
+    interface (skipped in this container — the probe test above pins
+    the absent case)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from nxsearch_ray.stages.multimodal import ImageFeatureActor
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 8), (200, 10, 10)).save(buf, format="WEBP")
+    actor = ImageFeatureActor(deterministic_fake=False)
+    out = actor(pa.table({"page_id": [1], "payload": [buf.getvalue()]}))
+    assert out.column("width").to_pylist() == [10]
+    assert out.column("height").to_pylist() == [8]
+
+
+def test_audio_soundfile_route_if_available():
+    pytest.importorskip("soundfile")
+    import io
+
+    import soundfile as sf
+
+    from nxsearch_ray.stages.multimodal import AudioFeatureActor
+
+    buf = io.BytesIO()
+    sf.write(buf, np.zeros(1600, dtype=np.float32), 16000,
+             format="FLAC")
+    actor = AudioFeatureActor(deterministic_fake=False)
+    out = actor(pa.table({"page_id": [1], "payload": [buf.getvalue()]}))
+    assert out.column("sample_rate").to_pylist() == [16000]

@@ -30,23 +30,59 @@ def test_pii_rules_on_handmade_text():
 
 
 def test_pii_injection_roundtrip():
-    """Injected PII is fully detected and scrubbed back out."""
-    from nxsearch_ray.stages.pii import (detect_pii, inject_pii,
-                                         redact_pii)
+    """Injected PII is fully detected and scrubbed back out — and the
+    deliberately-invalid injected SSN/card/IBAN SURVIVE (precision:
+    the validators, not the regexes, decide)."""
+    from nxsearch_ray.stages.pii import inject_pii, scrub_pii
 
     t = pa.table({
         "page_id": pa.array([0, 7, 12345], type=pa.int64()),
         "text": ["alpha beta", "gamma", "delta epsilon zeta"]})
-    inj = inject_pii(t)
-    out = redact_pii(detect_pii(inj))
-    assert out.column("n_email").to_pylist() == [1, 1, 1]
-    assert out.column("n_phone").to_pylist() == [1, 1, 1]
-    assert out.column("n_ip").to_pylist() == [1, 1, 1]
+    out = scrub_pii(inject_pii(t))
+    for cat in ("email", "phone", "ip", "ssn", "ccn", "iban"):
+        assert out.column(f"n_{cat}").to_pylist() == [1, 1, 1], cat
     for orig, clean in zip(t.column("text").to_pylist(),
                            out.column("clean_text").to_pylist()):
         # "contact-<id>" is itself email local-part charset, so the
         # whole injected token redacts to one <EMAIL>
-        assert clean == orig + " <EMAIL> call <PHONE> from <IP> "
+        assert clean == (
+            orig + " <EMAIL> call <PHONE> from <IP> ssn <SSN>"
+            " not 000-12-3456 card <CCN> not 4111 1111 1111 1112"
+            " acct <IBAN> not DE89370400440532013001 ")
+
+
+def test_pii_validators_precision_corpus():
+    """Checksum/range validators on a hand-built precision corpus:
+    every valid instance redacts, every near-miss survives."""
+    from nxsearch_ray.stages.pii import scrub_validated
+
+    rows = [
+        # (text, n_ssn, n_ccn, n_iban, expected_clean)
+        ("ssn 536-90-4399 ok", 1, 0, 0, "ssn <SSN> ok"),
+        ("area 000-90-4399 bad", 0, 0, 0, None),
+        ("area 666-90-4399 bad", 0, 0, 0, None),
+        ("area 900-90-4399 bad", 0, 0, 0, None),
+        ("group 536-00-4399 bad", 0, 0, 0, None),
+        ("serial 536-90-0000 bad", 0, 0, 0, None),
+        ("card 4012888888881881 y", 0, 1, 0, "card <CCN> y"),
+        ("card 4012-8888-8888-1881 y", 0, 1, 0, "card <CCN> y"),
+        ("card 4012 8888 8888 1882 n", 0, 0, 0, None),
+        ("iban GB82WEST12345698765432 y", 0, 0, 1, "iban <IBAN> y"),
+        ("iban GB82WEST12345698765433 n", 0, 0, 0, None),
+        ("iban FR1420041010050500013M02606 y", 0, 0, 1,
+         "iban <IBAN> y"),
+        ("two 536-90-4399 and 210-55-1234", 2, 0, 0,
+         "two <SSN> and <SSN>"),
+        ("plain text with numbers 1234 5678", 0, 0, 0, None),
+    ]
+    t = pa.table({"clean_text": [r[0] for r in rows]})
+    out = scrub_validated(t)
+    assert out.column("n_ssn").to_pylist() == [r[1] for r in rows]
+    assert out.column("n_ccn").to_pylist() == [r[2] for r in rows]
+    assert out.column("n_iban").to_pylist() == [r[3] for r in rows]
+    clean = out.column("clean_text").to_pylist()
+    for (text, _, _, _, want), got in zip(rows, clean):
+        assert got == (want if want is not None else text), text
 
 
 def test_pii_oracle_differential(ray_session, sf_dir):

@@ -313,3 +313,61 @@ def test_svc_open_cache_lru_semantics(svc):
     finally:
         store._open.clear()
         store._open.update(saved)
+
+
+def test_svc_concurrent_add_search_race(svc):
+    """Threaded add/search/create races (VERDICT r03 #10): the open-
+    index LRU is shared across ThreadingHTTPServer threads, and the
+    generation guard + _open_lock must keep every response a clean
+    200/201 (no KeyError-driven 400s, no 5xx).  CACHE_SLOTS eviction
+    is forced by cycling more indices than slots would allow for one
+    name; duplicate concurrent creates must split 201 / ERR_EXISTS."""
+    import concurrent.futures as cf
+
+    url, srv = svc
+    store = srv.store
+    old_slots = store.CACHE_SLOTS
+    store.CACHE_SLOTS = 2          # force eviction under contention
+    try:
+        names = [f"race{i}" for i in range(4)]
+        for n in names:
+            assert _req(f"{url}/{n}", "POST")[0] == 201
+            assert _req(f"{url}/{n}/add/1", "POST",
+                        b"cat dog")[0] == 201
+
+        errors: list[tuple] = []
+
+        def adder(k: int):
+            n = names[k % len(names)]
+            code, body = _req(f"{url}/{n}/add/{100 + k}", "POST",
+                              b"cat cow word%d" % k)
+            if code != 201:
+                errors.append(("add", code, body))
+
+        def searcher(k: int):
+            n = names[k % len(names)]
+            code, body = _req(f"{url}/{n}/search", "POST", b"cat")
+            if code != 200:
+                errors.append(("search", code, body))
+
+        with cf.ThreadPoolExecutor(max_workers=8) as ex:
+            futs = []
+            for k in range(12):
+                futs.append(ex.submit(adder, k))
+                futs.append(ex.submit(searcher, k))
+            for f in futs:
+                f.result(timeout=120)
+        assert errors == [], errors[:3]
+
+        # concurrent duplicate create: exactly one 201, the rest the
+        # reference's ERR_EXISTS wire code (not ERR_SYSTEM)
+        with cf.ThreadPoolExecutor(max_workers=4) as ex:
+            rs = list(ex.map(
+                lambda _: _req(f"{url}/dupname", "POST"), range(4)))
+        codes = sorted(c for c, _ in rs)
+        assert codes.count(201) == 1 and set(codes) <= {201, 400}
+        for code, body in rs:
+            if code == 400:
+                assert json.loads(body)["error"]["code"] == 3  # EXISTS
+    finally:
+        store.CACHE_SLOTS = old_slots

@@ -135,6 +135,65 @@ def test_cli_ingests_warc_dir(tmp_path):
     assert len(set(ct.column("cluster_id").to_pylist())) == 10
 
 
+def test_warc_ingest_file_granular_resume(ray_session, tmp_path):
+    """A run killed mid-ingest resumes WITHOUT re-reading completed
+    archives: completion sidecars are per-file, written after the
+    atomic parquet rename, and a replaced archive (size/mtime change)
+    re-ingests."""
+    import json
+    import os
+
+    from nxsearch_ray.sources.io import read_parquet_clean
+    from nxsearch_ray.sources.warc import ingest_warc_resumable
+
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    body = b"<html><body><p>%s</p></body></html>"
+    paths = []
+    for f in range(3):
+        recs = [response_record(
+            f"https://s{f}.example.org/p/{i}",
+            "2024-04-01T00:00:00Z", body % f"file {f} rec {i}".encode())
+            for i in range(5)]
+        p = seg / f"seg-{f}.warc.gz"
+        p.write_bytes(warc_gz_bytes(recs))
+        paths.append(str(p))
+
+    idir = str(tmp_path / "ingest")
+    s1 = ingest_warc_resumable(paths, idir)
+    assert s1 == {"parsed": 3, "skipped": 0}
+    ds = read_parquet_clean(idir, file_extensions=["parquet"])
+    assert ds.count() == 15
+
+    # simulate "killed mid-ingest": drop one file's sidecar (its
+    # parquet may or may not have landed — drop it too)
+    stems = sorted(f[:-5] for f in os.listdir(idir)
+                   if f.endswith(".json"))
+    victim = stems[1]
+    os.remove(os.path.join(idir, victim + ".json"))
+    os.remove(os.path.join(idir, victim + ".parquet"))
+    before = {f: os.path.getmtime(os.path.join(idir, f))
+              for f in os.listdir(idir) if f.endswith(".parquet")}
+
+    s2 = ingest_warc_resumable(paths, idir)
+    assert s2 == {"parsed": 1, "skipped": 2}
+    after = {f: os.path.getmtime(os.path.join(idir, f))
+             for f in before}
+    assert after == before          # completed outputs untouched
+    assert read_parquet_clean(
+        idir, file_extensions=["parquet"]).count() == 15
+
+    # a replaced archive re-ingests (size/mtime recorded in sidecar)
+    p0 = seg / "seg-0.warc.gz"
+    p0.write_bytes(warc_gz_bytes([response_record(
+        "https://s0.example.org/p/0", "2024-04-02T00:00:00Z",
+        body % b"replaced")]))
+    s3 = ingest_warc_resumable(paths, idir)
+    assert s3["parsed"] == 1 and s3["skipped"] == 2
+    assert read_parquet_clean(
+        idir, file_extensions=["parquet"]).count() == 11
+
+
 def test_jsonl_gz_documents_source(ray_session, tmp_path):
     """JSONL.gz shards ingest to the documents shape; field_map
     handles Dolma-style key names; ids are stable across re-reads."""
