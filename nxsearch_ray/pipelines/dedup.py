@@ -174,6 +174,15 @@ def run_dedup(pages_ds, cfg: PipelineConfig | None = None, *,
             sig_idx_ref = build_signature_index_ref(signatures, cfg)
             scored = verify_pairs_broadcast(candidates, sig_idx_ref, cfg)
         elif verify_mode == "bucketed":
+            # barrier: the bucketed plan adds TWO more hash exchanges
+            # (pair_join), and a fully-streaming DAG runs all four
+            # shuffle operators' aggregator pools CONCURRENTLY with
+            # the map operators — measured 2× the stage-by-stage wall
+            # at 8 cpus (oversubscribed aggregators thrash the
+            # scheduler).  Candidates are tiny after the in-bucket
+            # Hamming filter (~0.2 rows/page), so pinning them here
+            # costs nothing and halves the live shuffle-op count.
+            candidates = pin_blocks(candidates)
             scored = verify_pairs_bucketed(candidates, signatures, cfg)
         else:
             raise ValueError(f"unknown verify_mode {verify_mode!r}")
