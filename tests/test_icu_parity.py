@@ -78,6 +78,17 @@ NFKC_CF_CASES = [
     ("Ｔｅｓｔ！", "test!"),
     # kana voicing marks compose (NFC step); both scripts stable
     ("ゔ", "ゔ"), ("ヴ", "ヴ"), ("が", "が"),
+    # CJK compatibility ideograph → unified ideograph (singleton
+    # canonical decomposition, U+F900 → U+8C48)
+    ("豈", "豈"),
+    # parenthesized / squared / telegraph forms
+    ("㈱", "(株)"), ("℡", "tel"), ("™", "tm"), ("㍻", "平成"),
+    ("⒈", "1."),                            # digit + full stop
+    # half-width katakana + voicing mark composes after width fold
+    ("ｶﾞ", "ガ"),
+    ("ﬄ", "ffl"), ("Ĳ", "ij"),
+    ("ŉ", "ʼn"),                            # U+0149 → U+02BC + n
+    ("Ϊ́", "ΐ"),                       # Greek stack recomposes
 ]
 
 
@@ -181,6 +192,24 @@ SEGMENT_CASES = [
     # katakana middle dot (U+30FB) breaks — matches ICU (it is not
     # MidLetter; WB13 joins Katakana×Katakana only across nothing)
     ("ウェブ・サイト", ["ウェブ", "サイト"]),
+    # real-text space-delimited scripts, second wave: Perso-Arabic
+    # (Urdu), Indic (Gujarati / Telugu / Kannada / Malayalam /
+    # Sinhala — vowel signs and viramas are Extend/Mc and glue),
+    # Ethiopic (U+1361 ETHIOPIC WORDSPACE is Po → breaks, same as
+    # ICU), Cyrillic-extended (Kazakh), Sanskrit conjunct stacks
+    ("اردو زبان ہے", ["اردو", "زبان", "ہے"]),
+    ("ગુજરાતી ભાષા", ["ગુજરાતી", "ભાષા"]),
+    ("తెలుగు భాష", ["తెలుగు", "భాష"]),
+    ("ಕನ್ನಡ ಭಾಷೆ", ["ಕನ್ನಡ", "ಭಾಷೆ"]),
+    ("മലയാളം ഭാഷ", ["മലയാളം", "ഭാഷ"]),
+    ("සිංහල භාෂාව", ["සිංහල", "භාෂාව"]),
+    ("ሰላም ለዓለም", ["ሰላም", "ለዓለም"]),
+    ("ክፍል፡ሁለት", ["ክፍል", "ሁለት"]),
+    ("қазақ тілі", ["қазақ", "тілі"]),
+    ("संस्कृतम् भाषा क्षेत्रज्ञः", ["संस्कृतम्", "भाषा", "क्षेत्रज्ञः"]),
+    # Arabic tatweel (U+0640, Lm — a word character for ICU too):
+    # elongated words stay ONE token
+    ("العــربية", ["العــربية"]),
 ]
 
 
@@ -240,6 +269,18 @@ def test_divergence_cjk_dictionary_segmentation():
     # script boundary before dictionary lookup)
     assert segment_words("日本語とEnglish混在") == ["日本語とEnglish混在"]
     assert segment_words("321万円です") == ["321万円です"]
+    # Lao / Khmer / Burmese are unspaced dictionary scripts too
+    assert segment_words("ພາສາລາວ") == ["ພາສາລາວ"]
+    assert segment_words("ភាសាខ្មែរ") == ["ភាសាខ្មែរ"]
+    assert segment_words("မြန်မာဘာသာ") == ["မြန်မာဘာသာ"]
+
+
+def test_divergence_persian_zwnj():
+    """Persian compound verbs use ZWNJ (U+200C, Word_Break=Extend in
+    ICU → transparent, ONE token می‌خواهم).  Same root cause as the
+    ZWJ divergence above: Cf is not in the regex word class, so the
+    segmenter splits at it.  Pinned — a silent change fails here."""
+    assert segment_words("فارسی می‌خواهم") == ["فارسی", "می", "خواهم"]
 
 
 def test_divergence_hebrew_geresh_gershayim():
