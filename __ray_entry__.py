@@ -1016,6 +1016,122 @@ def q_embedding_dups(sf_dir: str):
                                        block_rows=1024)
 
 
+_SEMDEDUP_EPS = 0.4     # sandbox embeddings are near-random (max
+                        # pairwise cos ≈ 0.51); 0.4 drops ~10% so the
+                        # keep/drop logic is genuinely exercised
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup keep/drop decisions (arXiv:2303.09540, min-id
+    representative) — EXACT plan: blocked all-pairs -> native groupby
+    min -> streaming left join of flags onto the corpus.  The
+    clustered scale plan is `semantic_dedup_clustered` below; its
+    drops are gated as a sound subset of this plan's in tests."""
+    from nxsearch_ray.stages.semdedup import semantic_dedup_exact
+
+    ds = _read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return semantic_dedup_exact(ds, eps=_SEMDEDUP_EPS, block_rows=1024)
+
+
+def q_semantic_dedup_clustered(sf_dir: str):
+    """SemDeDup proper (the 100-TB plan): sample-trained spherical
+    k-means -> streaming cluster assignment -> per-cluster blocked
+    rule.  Approximate exactly the paper's way (cross-cluster dups
+    missed), so no SQL twin; tests gate subset-of-exact on this very
+    table, equality at nlist=1, and planted-duplicate recall."""
+    from nxsearch_ray.stages.semdedup import semantic_dedup_clustered
+
+    ds = _read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return semantic_dedup_clustered(ds, eps=_SEMDEDUP_EPS, nlist=8,
+                                    seed=42)
+
+
+def q_dedup_cascade(sf_dir: str):
+    """Tiered dedup cascade over `documents` — tier 1 exact content
+    (vectorized 128-bit hash groups, per-group min-id canonical),
+    tier 2 semantic (SemDeDup exact rule over tier-1 survivors'
+    embeddings, vec_id == doc_id).  One row per doc:
+    (doc_id, drop_tier ∈ {0 kept, 1 exact, 2 semantic}, dup_of).
+
+    Dataflow: one groupby for tier 1; one streaming hash join ships
+    tier-1 flags onto the embeddings; the survivor slice runs the
+    blocked semantic plan; one streaming left join folds tier-2 flags
+    back.  No driver materialization, no O(n) broadcast."""
+    from nxsearch_ray.functions.hashing import (content_hash128,
+                                                string_buffers)
+    from nxsearch_ray.stages.join import hash_join
+    from nxsearch_ray.stages.semdedup import semantic_dedup_exact
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        offs, data = string_buffers(t.column("text"))
+        h1, h2 = content_hash128(offs, data)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "h1": pa.array(h1, type=pa.int64()),
+                         "h2": pa.array(h2, type=pa.int64())})
+
+    def group_min(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        lo = ids.min()
+        dup1 = np.where(ids == lo, np.int64(-1), lo)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "dup1": pa.array(dup1, type=pa.int64())})
+
+    # pin the per-doc tier-1 flags before the exchange joins (same
+    # discipline as the flagship's candidate pin: the intermediate is
+    # two int64s per doc, object-store resident, and pinning halves
+    # the live shuffle-operator count)
+    t1 = docs.map_batches(add_key, batch_format="pyarrow") \
+        .groupby(["h1", "h2"]).map_groups(group_min,
+                                          batch_format="pyarrow") \
+        .materialize()
+
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    emb_t1 = hash_join(
+        emb, t1, left_key="vec_id", right_key="doc_id",
+        left_schema=pa.schema([("vec_id", pa.int64()),
+                               ("embedding", pa.list_(pa.float32()))]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("dup1", pa.int64())]))
+    surv_emb = emb_t1.filter(expr="dup1_r < 0") \
+        .select_columns(["vec_id", "embedding"])
+
+    sem = semantic_dedup_exact(surv_emb, eps=_SEMDEDUP_EPS,
+                               block_rows=1024) \
+        .select_columns(["id", "dup_of"]).materialize()
+
+    final = hash_join(
+        t1, sem, left_key="doc_id", right_key="id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("dup1", pa.int64())]),
+        right_schema=pa.schema([("id", pa.int64()),
+                                ("dup_of", pa.int64())]),
+        how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("drop_tier", pa.int64()),
+                              ("dup_of", pa.int64())]).empty_table()
+        ids = t.column("doc_id").to_numpy()
+        dup1 = t.column("dup1").to_numpy()
+        dup2 = np.asarray(t.column("dup_of_r").fill_null(-1).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        tier = np.where(dup1 >= 0, np.int64(1),
+                        np.where(dup2 >= 0, np.int64(2), np.int64(0)))
+        dup_of = np.where(dup1 >= 0, dup1, dup2)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "drop_tier": pa.array(tier, type=pa.int64()),
+                         "dup_of": pa.array(dup_of, type=pa.int64())})
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
 def q_query_probe(sf_dir: str):
     """Probe-side near-dup search: query the corpus signatures with
     the first document's text — its orig + copy pages must match."""
@@ -1312,6 +1428,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q_video_frames,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_clustered": q_semantic_dedup_clustered,
+        "dedup_cascade": q_dedup_cascade,
         "query_probe": q_query_probe,
         "bucket_census": q_bucket_census,
         "term_search": q_term_search,
@@ -1708,6 +1827,38 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        list_cosine_similarity(a.v, b.v) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+""",
+        "semantic_dedup": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT b.vec_id AS id, min(a.vec_id) AS dup_of
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {_SEMDEDUP_EPS}
+      GROUP BY b.vec_id)
+SELECT e.vec_id AS id,
+       coalesce(d.dup_of, -1)::BIGINT AS dup_of,
+       d.dup_of IS NULL AS keep
+FROM e LEFT JOIN d ON e.vec_id = d.id
+""",
+        "dedup_cascade": f"""
+WITH t1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY text)
+              THEN min(doc_id) OVER (PARTITION BY text)
+              ELSE -1 END AS dup1
+  FROM documents),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id IN (SELECT doc_id FROM t1 WHERE dup1 < 0)),
+sem AS (SELECT b.vec_id AS doc_id, min(a.vec_id) AS dup2
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {_SEMDEDUP_EPS}
+        GROUP BY b.vec_id)
+SELECT t1.doc_id,
+       (CASE WHEN t1.dup1 >= 0 THEN 1
+             WHEN sem.dup2 IS NOT NULL THEN 2
+             ELSE 0 END)::BIGINT AS drop_tier,
+       (CASE WHEN t1.dup1 >= 0 THEN t1.dup1
+             ELSE coalesce(sem.dup2, -1) END)::BIGINT AS dup_of
+FROM t1 LEFT JOIN sem ON t1.doc_id = sem.doc_id
 """,
         "domain_stats": f"""
 WITH {PAGES_CTE}

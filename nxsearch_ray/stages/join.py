@@ -207,8 +207,8 @@ def pair_join(pairs_ds, right_ds, *, right_key: str,
 def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
               left_schema: pa.Schema, right_schema: pa.Schema,
               num_partitions: int | None = None,
-              right_suffix: str = "_r"):
-    """Inner-join ``left[left_key] == right[right_key]``.  Schemas are
+              right_suffix: str = "_r", how: str = "inner"):
+    """Join ``left[left_key] == right[right_key]``.  Schemas are
     passed explicitly — Ray schemas are lazy, and passing them avoids
     triggering execution just to inspect.
 
@@ -216,7 +216,12 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
     sides' rows per key; a local sort by (key, side) inside each block
     then gathers the key's single right row onto its left rows.  Every
     key run is complete inside its block, so there is no boundary
-    fallback, no global sort and no barrier — the join streams."""
+    fallback, no global sort and no barrier — the join streams.
+
+    ``how='left'`` keeps unmatched left rows with null payload columns
+    (same exchange; only the per-block gather differs)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join: unsupported how={how!r}")
     from nxsearch_ray.stages.shuffle import hash_partitioned
 
     left_names = [f.name for f in left_schema]
@@ -262,7 +267,8 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
         """Per-block (key-complete) run scan: gather each key's single
         right-side row (sorts last within its run) onto its left rows."""
         n = t.num_rows
-        if n == 0:
+        if n == 0 or t.num_columns == 0:
+            # hash-shuffle repartition can emit zero-column empties
             return out_schema.empty_table()
         keys = t.column("__key").to_numpy()
         side = t.column("__side").to_numpy()
@@ -278,8 +284,14 @@ def hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
         left_rows = np.nonzero(side == 0)[0]
         rpos = right_of_run[run_id[left_rows]]
         matched = rpos >= 0
-        lt = t.take(pa.array(left_rows[matched], type=pa.int64()))
-        rt = t.take(pa.array(rpos[matched], type=pa.int64()))
+        if how == "left":
+            lt = t.take(pa.array(left_rows, type=pa.int64()))
+            # null take-indices yield null payload rows for the
+            # unmatched left rows
+            rt = t.take(pa.array(rpos, mask=~matched, type=pa.int64()))
+        else:
+            lt = t.take(pa.array(left_rows[matched], type=pa.int64()))
+            rt = t.take(pa.array(rpos[matched], type=pa.int64()))
         cols = [lt.column(nm) for nm in left_names]
         cols += [rt.column(nm) for nm in payload_names]
         return pa.Table.from_arrays(cols, schema=out_schema)
