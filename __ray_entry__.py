@@ -1132,6 +1132,19 @@ def q_dedup_cascade(sf_dir: str):
     return final.map_batches(finish, batch_format="pyarrow")
 
 
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style unigram LM quality scoring (stages/lmscore.py):
+    census with per-batch combiner -> one-task model fold -> broadcast
+    -> streaming vectorized scorer.  Twin computes the identical MLE
+    model in SQL (ln(n/N) divide-then-log, same tokenization as the
+    doc_stats family)."""
+    from nxsearch_ray.stages.lmscore import lm_perplexity
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return lm_perplexity(ds)
+
+
 def q_query_probe(sf_dir: str):
     """Probe-side near-dup search: query the corpus signatures with
     the first document's text — its orig + copy pages must match."""
@@ -1429,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "semantic_dedup": q_semantic_dedup,
+        "lm_perplexity": q_lm_perplexity,
         "semantic_dedup_clustered": q_semantic_dedup_clustered,
         "dedup_cascade": q_dedup_cascade,
         "query_probe": q_query_probe,
@@ -1827,6 +1841,20 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        list_cosine_similarity(a.v, b.v) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+""",
+        "lm_perplexity": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+  FROM documents),
+cnt AS (SELECT w, count(*)::DOUBLE AS n FROM toks GROUP BY w),
+tot AS (SELECT sum(n) AS total FROM cnt)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       avg(-ln(n / total)) AS logloss,
+       exp(avg(-ln(n / total))) AS perplexity
+FROM toks JOIN cnt USING (w) CROSS JOIN tot
+GROUP BY doc_id
 """,
         "semantic_dedup": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
