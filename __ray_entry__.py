@@ -1062,7 +1062,6 @@ def q_dedup_cascade(sf_dir: str):
     from nxsearch_ray.functions.hashing import (content_hash128,
                                                 string_buffers)
     from nxsearch_ray.stages.join import hash_join
-    from nxsearch_ray.stages.semdedup import semantic_dedup_exact
 
     docs = _read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
@@ -1098,19 +1097,27 @@ def q_dedup_cascade(sf_dir: str):
                                ("embedding", pa.list_(pa.float32()))]),
         right_schema=pa.schema([("doc_id", pa.int64()),
                                 ("dup1", pa.int64())]))
+    # pin the survivor slice: the blocked pair plan consumes its
+    # input twice (count + block refs) — without the pin each pass
+    # re-runs the tier-1 exchange join.  Object-store resident, same
+    # footprint as the blocked plan's pinned refs.
     surv_emb = emb_t1.filter(expr="dup1_r < 0") \
-        .select_columns(["vec_id", "embedding"])
+        .select_columns(["vec_id", "embedding"]).materialize()
 
-    sem = semantic_dedup_exact(surv_emb, eps=_SEMDEDUP_EPS,
-                               block_rows=1024) \
-        .select_columns(["id", "dup_of"]).materialize()
+    # tier-2 dup map straight from the pair stream (skipping
+    # semantic_dedup_exact's internal flag join — its output would be
+    # re-joined onto t1 anyway); pinned like the flagship's candidates
+    from nxsearch_ray.stages.ann import embedding_dup_pairs_blocked
+    dups2 = embedding_dup_pairs_blocked(
+        surv_emb, threshold=_SEMDEDUP_EPS, block_rows=1024) \
+        .groupby("b").min("a").materialize()
 
     final = hash_join(
-        t1, sem, left_key="doc_id", right_key="id",
+        t1, dups2, left_key="doc_id", right_key="b",
         left_schema=pa.schema([("doc_id", pa.int64()),
                                ("dup1", pa.int64())]),
-        right_schema=pa.schema([("id", pa.int64()),
-                                ("dup_of", pa.int64())]),
+        right_schema=pa.schema([("b", pa.int64()),
+                                ("min(a)", pa.int64())]),
         how="left")
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1120,7 +1127,7 @@ def q_dedup_cascade(sf_dir: str):
                               ("dup_of", pa.int64())]).empty_table()
         ids = t.column("doc_id").to_numpy()
         dup1 = t.column("dup1").to_numpy()
-        dup2 = np.asarray(t.column("dup_of_r").fill_null(-1).to_numpy(
+        dup2 = np.asarray(t.column("min(a)_r").fill_null(-1).to_numpy(
             zero_copy_only=False), dtype=np.int64)
         tier = np.where(dup1 >= 0, np.int64(1),
                         np.where(dup2 >= 0, np.int64(2), np.int64(0)))

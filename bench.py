@@ -36,6 +36,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_N = int(os.environ.get("BENCH_SYNTH_N", "20000"))
+SEMDEDUP_N = int(os.environ.get("BENCH_SEMDEDUP_N", "100000"))
 SYNTH_SEED = 1234
 
 
@@ -155,6 +156,28 @@ def run_benchmarks() -> dict:
     sec2, _ = _timed(dedup_sf)
     queries["dedup_sf_pages"] = round(sec2, 3)
 
+    # ---- semantic-dedup tier over a synthetic embedding corpus
+    # (the sf embeddings table is only 500 rows; the clustered plan's
+    # cost profile needs real cluster populations)
+    from nxsearch_ray.sources.synth import synth_embeddings_parquet
+    from nxsearch_ray.stages.semdedup import semantic_dedup_clustered
+
+    emb_dir = synth_embeddings_parquet(SEMDEDUP_N, seed=SYNTH_SEED)
+
+    def semdedup_synth():
+        import pyarrow.compute as _pc
+        ds = read_parquet_clean(emb_dir,
+                                columns=["vec_id", "embedding"])
+        out = semantic_dedup_clustered(ds, eps=0.95, nlist=64,
+                                       seed=SYNTH_SEED).materialize()
+        n_drop = out.filter(expr="dup_of >= 0").count()
+        # planted exact copies (cos 1.0) can never escape: floor check
+        assert n_drop >= SEMDEDUP_N // 10 - 1, n_drop
+        return out
+
+    qsec, _ = _timed(semdedup_synth)
+    queries["semdedup_synth"] = round(qsec, 3)
+
     # ---- component benchmarks over the sf tables
     import __ray_entry__ as entry
 
@@ -164,7 +187,8 @@ def run_benchmarks() -> dict:
                  "pack_sequences", "sessionize", "ann_topk",
                  "ann_topk_ivf", "bm25_topk", "topk_events",
                  "pii_scrub", "decontaminate", "gopher_quality",
-                 "url_blocklist", "web_clean"):
+                 "url_blocklist", "web_clean", "lm_perplexity",
+                 "semantic_dedup", "dedup_cascade"):
         def runq(name=name):
             out = qs[name](SF_DIR)
             if hasattr(out, "materialize"):

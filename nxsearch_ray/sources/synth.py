@@ -182,6 +182,47 @@ def synth_parquet(n_base: int, *, seed: int = 42,
     return out_dir
 
 
+def synth_embeddings_parquet(n: int, *, dim: int = 64, seed: int = 42,
+                             n_anchors: int = 256,
+                             dup_every: int = 10,
+                             out_dir: str | None = None,
+                             num_files: int = 32) -> str:
+    """Write (or reuse) a cached deterministic embedding corpus for
+    the semantic-dedup bench: ``n_anchors`` unit anchor directions,
+    vectors = anchor·12 + unit noise (same-anchor cosine ≈ 0.7,
+    cross-anchor ≈ 0 — clusterable, like real embedding corpora), and
+    every ``dup_every``-th vector an EXACT copy of the one
+    ``dup_every`` before it (planted semantic duplicates with cosine
+    1.0 — the clustered plan must find them all)."""
+    out_dir = out_dir or (f"/tmp/synth_emb/v1_n{n}_d{dim}_s{seed}"
+                          f"_a{n_anchors}_e{dup_every}")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    anchors = rng.normal(size=(n_anchors, dim))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    mat = anchors[np.arange(n) % n_anchors] * 12.0 \
+        + rng.normal(size=(n, dim))
+    for i in range(dup_every, n, dup_every):
+        mat[i] = mat[i - dup_every]
+    mat32 = mat.astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    per = max(1, (n + num_files - 1) // num_files)
+    for f in range(0, n, per):
+        sl = slice(f, min(f + per, n))
+        t = pa.table({
+            "vec_id": pa.array(ids[sl]),
+            "embedding": pa.array(list(mat32[sl]),
+                                  type=pa.list_(pa.float32()))})
+        pq.write_table(t, os.path.join(out_dir,
+                                       f"part-{f:010d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("")
+    return out_dir
+
+
 def truth_pairs(table: pa.Table) -> set[tuple[int, int]]:
     """Gated ground-truth duplicate pairs (a<b) from a synth table."""
     import collections
