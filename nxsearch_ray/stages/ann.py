@@ -34,8 +34,9 @@ TOPK_SCHEMA = pa.schema([("qid", pa.int64()), ("vec_id", pa.int64()),
                          ("score", pa.float64())])
 
 
-def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
-    flat, off = list_column_numpy(batch.column(col), dtype=np.float64)
+def _embedding_matrix(batch: pa.Table, col: str,
+                      dtype=np.float64) -> np.ndarray:
+    flat, off = list_column_numpy(batch.column(col), dtype=dtype)
     dim = off[1] - off[0] if len(off) > 1 else 0
     return flat.reshape(-1, int(dim))
 

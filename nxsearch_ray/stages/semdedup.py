@@ -43,10 +43,21 @@ Two plans, same output schema ``(id, dup_of, keep)``:
 
 Partitioning assumption (clustered plan): cluster sizes are within a
 few × of balanced.  k-means on real embedding corpora yields this
-(the paper uses 11k clusters for 100M+ docs); a degenerate corpus
-where one cluster holds most rows degrades toward the exact plan's
-quadratic cost for that cluster — raise ``nlist`` or pre-split hot
-clusters by re-running k-means inside them if that appears.
+(the paper uses 11k clusters for 100M+ docs), but Lloyd can and does
+leave hot clusters (the sandbox bench corpus converges with one
+cluster at 6.4× the mean, which then holds ~40% of the quadratic
+work as a single serial straggler task).  The plan therefore
+mechanizes its own remedy: a cluster-size census (``nlist`` rows —
+tiny), then a second-level spherical k-means INSIDE any cluster
+larger than ``hot_cap_factor ×`` the mean, reassigning its rows to
+sub-clusters before the groupby.  Identical vectors still always
+share a (sub-)cluster — guaranteed by ``_det_argmax``, not by GEMM
+alone (see its docstring for why BLAS breaks this) — so
+planted-duplicate recall is untouched, and drops remain a sound
+subset of the exact rule's; near-boundary pairs split across
+sub-clusters are missed, the same approximation raising ``nlist``
+would make.  One split level only: a corpus whose sub-clusters are
+still degenerate (all-identical directions) is quadratic by nature.
 """
 
 from __future__ import annotations
@@ -60,6 +71,36 @@ from nxsearch_ray.stages.ann import (_embedding_matrix, _normalize,
 
 OUT_SCHEMA = pa.schema([("id", pa.int64()), ("dup_of", pa.int64()),
                         ("keep", pa.bool_())])
+
+
+def _det_argmax(mat32: np.ndarray, cent32: np.ndarray) -> np.ndarray:
+    """Nearest-centroid argmax that depends only on each row's bytes,
+    never on which batch the row arrived in.
+
+    A plain ``(mat @ cent.T).argmax(1)`` does NOT have that property:
+    BLAS picks its GEMM micro-kernel (and thus the FMA reduction
+    order) from the matrix SHAPES, so the same vector in two batches
+    of different sizes can score a near-tied centroid pair both ways
+    — observed on the bench corpus, where one of 40k byte-identical
+    vectors landed in a different sub-cluster than its twins and
+    escaped the dedup rule.  Rows whose top-2 margin is wider than
+    float32 GEMM rounding are shape-stable already; the rest are
+    recomputed with a fixed-order float64 broadcast-multiply
+    reduction (numpy pairwise sum over the last axis — order fixed by
+    ``dim`` alone), which identical bytes can never disagree on."""
+    s = mat32 @ cent32.T
+    k = s.shape[1]
+    out = s.argmax(axis=1).astype(np.int64)
+    if k == 1:
+        return out
+    top2 = np.partition(s, k - 2, axis=1)[:, -2:]
+    tie = (top2[:, 1] - top2[:, 0]) < 1e-4
+    if tie.any():
+        c64 = cent32.astype(np.float64)
+        s64 = (mat32[tie, None, :].astype(np.float64)
+               * c64[None]).sum(axis=2)
+        out[tie] = s64.argmax(axis=1)
+    return out
 
 
 def _finalize(ids: np.ndarray, dup_of: np.ndarray) -> pa.Table:
@@ -114,28 +155,99 @@ def _cluster_rule(eps: float, id_col: str, emb_col: str,
     """Within-cluster SemDeDup rule as a map_groups fn: sort by id,
     then for each row the smallest EARLIER row with cos >= eps.  The
     similarity matrix is computed in row blocks so memory stays
-    O(row_block · cluster_size) whatever the cluster size."""
+    O(row_block · cluster_size) whatever the cluster size.
+
+    Computed in float32 — the embeddings' storage dtype — so the GEMM
+    does half the flops and half the memory traffic of a float64
+    kernel (profiled 3.6× end-to-end on the 400k-vector bench corpus).
+    The exact plan keeps float64 for DuckDB-oracle parity; a pair
+    within float32 rounding (~1e-7 relative) of eps could therefore
+    differ between plans, which the paper's epsilon (a loose knob, not
+    a sharp boundary) and the test corpora's wide margins absorb.
+
+    The eligible-row split below avoids materializing an (e, e-s)
+    triangle mask per block: rows [0, s) are earlier than every column
+    by construction, so only the small (block × block) diagonal needs
+    masking — and only for columns the cheap top pass left unmatched
+    (with a match above, the top hit is already the global min id)."""
+
+    def rule(ids: np.ndarray, mat: np.ndarray) -> np.ndarray:
+        n = len(ids)
+        dup = np.full(n, -1, dtype=np.int64)
+        for s in range(0, n, row_block):
+            e = min(s + row_block, n)
+            blk = mat[s:e]
+            m = e - s
+            if s:
+                hit = (mat[:s] @ blk.T) >= eps        # (s, m)
+                any_top = hit.any(axis=0)
+                first = hit.argmax(axis=0)            # first True = min
+                dup[s:e][any_top] = ids[first[any_top]]
+            else:
+                any_top = np.zeros(m, dtype=bool)
+            need = np.nonzero(~any_top)[0]            # block offsets
+            if len(need):
+                d = (blk @ blk[need].T) >= eps        # (m, |need|)
+                # row i eligible for column j iff i < need[j]
+                d[np.arange(m)[:, None] >= need[None, :]] = False
+                any_d = d.any(axis=0)
+                firstd = d.argmax(axis=0)
+                dup[s + need[any_d]] = ids[s + firstd[any_d]]
+        return dup
 
     def fn(g: pa.Table) -> pa.Table:
         ids = g.column(id_col).to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        mat = _normalize(_embedding_matrix(g, emb_col))[order]
+        mat = _normalize(
+            _embedding_matrix(g, emb_col, dtype=np.float32))[order]
         n = len(ids)
-        dup = np.full(n, -1, dtype=np.int64)
-        for s in range(0, n, row_block):
-            e = min(s + row_block, n)
-            sims = mat[:e] @ mat[s:e].T          # (e, e-s)
-            # row i is an eligible earlier doc for column j iff i < s+j
-            hit = sims >= eps
-            cols = np.arange(s, e)
-            hit[cols[None, :] <= np.arange(e)[:, None]] = False
-            any_hit = hit.any(axis=0)
-            first = hit.argmax(axis=0)           # first True = min id
-            dup[s:e][any_hit] = ids[first[any_hit]]
+        if n == 0 or mat.shape[1] == 0:
+            return _finalize(ids, np.full(n, -1, dtype=np.int64))
+        # Collapse byte-identical rows before the quadratic rule —
+        # web corpora carry giant exact-duplicate groups (boilerplate
+        # pages), and the GEMM over such a group is pure waste.  For a
+        # non-minimal member x of an identical group with minimal
+        # member r: cos(x, ·) == cos(r, ·) and x's eligible set is
+        # r's plus rows in [r, x) — all >= r — so
+        # dup_of[x] = dup_of[r] when that exists (it is < r), else r
+        # itself (cos(x, r) = 1 >= eps).  The rule among
+        # representatives alone is exact: any neighbor reachable via
+        # a group member is reachable via its (smaller-id) rep.
+        key = np.ascontiguousarray(mat).view(np.dtype(
+            (np.void, mat.dtype.itemsize * mat.shape[1]))).ravel()
+        _, first, inv = np.unique(key, return_index=True,
+                                  return_inverse=True)
+        if len(first) < n:
+            reps = np.sort(first)             # rep rows in id order
+            sub = rule(ids[reps], mat[reps])
+            rep_dup = np.full(n, -1, dtype=np.int64)
+            rep_dup[reps] = sub
+            r = first[inv]                    # each row's rep row
+            dup = rep_dup[r].copy()
+            member = (np.arange(n) != r) & (dup < 0)
+            dup[member] = ids[r[member]]
+        else:
+            dup = rule(ids, mat)
         return _finalize(ids, dup)
 
     return fn
+
+
+def _cluster_census(assigned) -> dict[int, int]:
+    """{cluster: rows} from a groupby count — ``nlist`` rows, bounded
+    by construction, fetched as arrow refs (never a full-dataset
+    driver materialization)."""
+    import ray
+
+    tabs = [t for t in ray.get(
+        assigned.groupby("cluster").count().to_arrow_refs())
+        if t.num_rows]
+    out: dict[int, int] = {}
+    for t in tabs:
+        out.update(zip(t.column("cluster").to_pylist(),
+                       t.column("count()").to_pylist()))
+    return out
 
 
 def semantic_dedup_clustered(emb_ds, *, eps: float = 0.4,
@@ -143,10 +255,20 @@ def semantic_dedup_clustered(emb_ds, *, eps: float = 0.4,
                              id_col: str = "vec_id",
                              emb_col: str = "embedding",
                              sample_cap: int = 65536,
-                             centroids_ref=None):
+                             centroids_ref=None,
+                             hot_cap_factor: float = 3.0,
+                             sub_sample_cap: int = 16384):
     """Clustered plan (SemDeDup proper).  One sample-trained k-means,
-    one streaming assignment pass, one groupby, blocked in-cluster
-    matmuls.  Drops are a sound subset of the exact rule's."""
+    one streaming assignment pass, a cluster-size census with second-
+    level k-means inside hot clusters (> ``hot_cap_factor`` × mean;
+    see module docstring), one groupby, blocked in-cluster matmuls.
+    Drops are a sound subset of the exact rule's.
+
+    The assignment pass is recomputed by the census / sub-train /
+    final passes rather than materialized: recompute here is a cheap
+    column-pruned read + one small matmul, while pinning an
+    (id, embedding, cluster) copy of the corpus in the object store
+    at 100 TB would be all spill traffic."""
     import ray
 
     if centroids_ref is None:
@@ -157,13 +279,54 @@ def semantic_dedup_clustered(emb_ds, *, eps: float = 0.4,
     if cent.size == 0:
         return emb_ds.limit(0).map_batches(
             lambda t: OUT_SCHEMA.empty_table(), batch_format="pyarrow")
+    cent = np.ascontiguousarray(cent, dtype=np.float32)
 
     def assign(batch: pa.Table) -> pa.Table:
-        mat = _normalize(_embedding_matrix(batch, emb_col))
-        cl = (mat @ cent.T).argmax(axis=1).astype(np.int64)
+        mat = _normalize(
+            _embedding_matrix(batch, emb_col, dtype=np.float32))
+        cl = _det_argmax(mat, cent)
         return batch.select([id_col, emb_col]).append_column(
             "cluster", pa.array(cl))
 
     assigned = emb_ds.map_batches(assign, batch_format="pyarrow")
+
+    if hot_cap_factor:
+        sizes = _cluster_census(assigned)
+        mean = sum(sizes.values()) / max(len(sizes), 1)
+        hot = {c: s for c, s in sizes.items()
+               if s > hot_cap_factor * mean and s > 1}
+        if hot:
+            sub_refs = {
+                c: train_ivf_centroids_ref(
+                    assigned.filter(expr=f"cluster == {c}"),
+                    int(np.ceil(s / mean)), emb_col=emb_col,
+                    seed=seed + 1000003 * (c + 1),
+                    sample_cap=sub_sample_cap)
+                for c, s in hot.items()}
+            subc = {c: np.ascontiguousarray(ray.get(r),
+                                            dtype=np.float32)
+                    for c, r in sub_refs.items()}
+            # disjoint relabel: cluster -> cluster*stride + sub_idx
+            # (sub_idx 0 for cold clusters), stride fixed by the census
+            stride = 1 + max(len(m) for m in subc.values())
+
+            def resplit(batch: pa.Table) -> pa.Table:
+                cl = batch.column("cluster").to_numpy() * stride
+                mat = None
+                for c, cm in subc.items():
+                    rows = np.nonzero(
+                        batch.column("cluster").to_numpy() == c)[0]
+                    if not len(rows):
+                        continue
+                    if mat is None:
+                        mat = _normalize(_embedding_matrix(
+                            batch, emb_col, dtype=np.float32))
+                    cl[rows] += _det_argmax(mat[rows], cm)
+                return batch.drop_columns(["cluster"]).append_column(
+                    "cluster", pa.array(cl))
+
+            assigned = assigned.map_batches(resplit,
+                                            batch_format="pyarrow")
+
     return assigned.groupby("cluster").map_groups(
         _cluster_rule(eps, id_col, emb_col), batch_format="pyarrow")

@@ -168,3 +168,54 @@ def test_left_hash_join_null_payload(ray_session):
     got = dict(zip(tb.column("k").to_pylist(),
                    tb.column("v_r").to_pylist()))
     assert got == {1: None, 2: 20, 3: None, 4: 40}
+
+
+def test_det_argmax_batch_shape_independent():
+    """_det_argmax must give the same centroid for the same row bytes
+    whatever batch it arrives in: BLAS GEMM picks its reduction order
+    from the matrix shapes, so near-tied centroids can flip between
+    batch sizes (observed escaping a planted duplicate on the bench
+    corpus).  Degenerate near-equal centroids force the tie path."""
+    from nxsearch_ray.stages.semdedup import _det_argmax
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=16).astype(np.float32)
+    v /= np.linalg.norm(v)
+    cent = np.stack([v, v + 1e-7, rng.normal(size=16).astype(
+        np.float32)]).astype(np.float32)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    solo = _det_argmax(v[None, :], cent)[0]
+    for n in (2, 7, 64, 1000):
+        batch = np.repeat(v[None, :], n, axis=0)
+        got = _det_argmax(batch, cent)
+        assert (got == solo).all(), (n, solo, got[:5])
+
+
+def test_hot_cluster_identical_group_never_escapes(ray_session):
+    """A giant byte-identical group (web boilerplate) lands in one hot
+    cluster; the census/resplit path must still drop every non-minimal
+    member — this regression-tests both the identical-row collapse in
+    the kernel and the deterministic sub-assignment (id 12480 escaped
+    via a GEMM rounding flip before _det_argmax)."""
+    import ray.data as rd
+
+    from nxsearch_ray.stages.semdedup import semantic_dedup_clustered
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    anchors = rng.normal(size=(4, DIM))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    base = anchors[np.arange(n) % 4] * 4.0 + rng.normal(size=(n, DIM))
+    base[::2] = base[0]                    # 1000 identical rows
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r.astype(np.float32) for r in base],
+                              type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(7)
+    got = _as_map(semantic_dedup_clustered(
+        ds, eps=0.95, nlist=4, seed=42, hot_cap_factor=1.5,
+        sub_sample_cap=512))
+    for i in range(2, n, 2):
+        assert got[i] >= 0, f"identical member {i} escaped"
+    assert got[0] == -1 or got[0] >= 0     # id 0 decided once
+    assert len(got) == n
