@@ -1048,6 +1048,60 @@ def q_semantic_dedup_clustered(sf_dir: str):
                                     seed=42)
 
 
+def q_semdedup_clustered_verify(sf_dir: str):
+    """Invariant oracle for the clustered plan (the dedup_exact_verify
+    discipline): completeness is approximate by design — cross-cluster
+    pairs are missed, so full output equality is not SQL-expressible —
+    but every DROP must be justified: dup_of < id and
+    cos(id, dup_of) >= eps (minus the float32 kernel's rounding,
+    1e-5).  Two streaming hash joins fetch each decision's own and
+    dup embeddings; the emitted (id, dup_valid) must be all-true,
+    which is exactly the SQL twin — any unjustified drop, dangling
+    dup_of, or dup_of >= id hash-mismatches."""
+    from nxsearch_ray.stages.ann import _embedding_matrix, _normalize
+    from nxsearch_ray.stages.join import hash_join
+    from nxsearch_ray.stages.semdedup import (OUT_SCHEMA,
+                                              semantic_dedup_clustered)
+
+    emb_schema = pa.schema([("vec_id", pa.int64()),
+                            ("embedding", pa.list_(pa.float32()))])
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    out = semantic_dedup_clustered(emb, eps=_SEMDEDUP_EPS, nlist=8,
+                                   seed=42)
+    j1 = hash_join(out, emb, left_key="id", right_key="vec_id",
+                   left_schema=OUT_SCHEMA, right_schema=emb_schema)
+    j2 = hash_join(
+        j1, emb, left_key="dup_of", right_key="vec_id",
+        left_schema=pa.schema(list(OUT_SCHEMA) + [
+            ("embedding_r", pa.list_(pa.float32()))]),
+        right_schema=emb_schema, right_suffix="_dup", how="left")
+
+    def check(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t.column("id").to_numpy()
+        dup = t.column("dup_of").to_numpy()
+        valid = dup < 0                       # kept rows: nothing owed
+        rows = np.nonzero(~valid)[0]
+        if len(rows):
+            sub = t.take(pa.array(rows))
+            ok = np.zeros(len(rows), dtype=bool)
+            have = pc.is_valid(sub.column("embedding_dup")) \
+                .to_numpy(zero_copy_only=False)
+            if have.any():
+                s2 = sub.take(pa.array(np.nonzero(have)[0]))
+                a = _normalize(_embedding_matrix(s2, "embedding_r"))
+                b = _normalize(_embedding_matrix(s2, "embedding_dup"))
+                ok[have] = (a * b).sum(axis=1) >= _SEMDEDUP_EPS - 1e-5
+            ok &= dup[rows] < ids[rows]
+            valid[rows] = ok
+        return pa.table({"id": pa.array(ids, type=pa.int64()),
+                         "dup_valid": pa.array(valid)})
+
+    return j2.map_batches(check, batch_format="pyarrow")
+
+
 def q_dedup_cascade(sf_dir: str):
     """Tiered dedup cascade over `documents` — tier 1 exact content
     (vectorized 128-bit hash groups, per-group min-id canonical),
@@ -1451,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "lm_perplexity": q_lm_perplexity,
         "semantic_dedup_clustered": q_semantic_dedup_clustered,
+        "semdedup_clustered_verify": q_semdedup_clustered_verify,
         "dedup_cascade": q_dedup_cascade,
         "query_probe": q_query_probe,
         "bucket_census": q_bucket_census,
@@ -1873,6 +1928,12 @@ SELECT e.vec_id AS id,
        coalesce(d.dup_of, -1)::BIGINT AS dup_of,
        d.dup_of IS NULL AS keep
 FROM e LEFT JOIN d ON e.vec_id = d.id
+""",
+        # all-true by construction: the Ray side recomputes each drop's
+        # justification (dup_of < id, cos >= eps) from the embeddings;
+        # any violation emits false and hash-mismatches
+        "semdedup_clustered_verify": """
+SELECT vec_id AS id, true AS dup_valid FROM embeddings
 """,
         "dedup_cascade": f"""
 WITH t1 AS (
