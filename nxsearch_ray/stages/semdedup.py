@@ -330,3 +330,56 @@ def semantic_dedup_clustered(emb_ds, *, eps: float = 0.4,
 
     return assigned.groupby("cluster").map_groups(
         _cluster_rule(eps, id_col, emb_col), batch_format="pyarrow")
+
+
+class SemDedupParams:
+    """Hashable parameter set gating checkpoint reuse —
+    state/lineage.checkpoint duck-types on ``config_hash()`` (the
+    flagship passes a PipelineConfig; this tier has its own knobs)."""
+
+    def __init__(self, **kw):
+        self.kw = dict(sorted(kw.items()))
+
+    def config_hash(self) -> str:
+        import hashlib
+        import json
+
+        return hashlib.md5(json.dumps(
+            self.kw, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def run_semdedup(emb_ds, *, eps: float = 0.4, nlist: int = 64,
+                 seed: int = 42, id_col: str = "vec_id",
+                 emb_col: str = "embedding", sample_cap: int = 65536,
+                 hot_cap_factor: float = 3.0,
+                 sub_sample_cap: int = 16384,
+                 out_dir: str | None = None):
+    """Checkpoint-resumable semantic tier (the flagship's lineage
+    discipline, state/lineage.py): with ``out_dir`` set, the decision
+    table ``(id, dup_of, keep)`` is materialized to
+    ``{out_dir}/semdedup_decisions/`` as partitioned Parquet with a
+    lineage manifest keyed by the parameter hash; a re-run under the
+    same parameters loads the checkpoint instead of redoing the
+    quadratic work, and a changed parameter invalidates it.  Returns
+    ``(dataset, stats)`` with the resumed flag and stage wall."""
+    import time
+
+    from nxsearch_ray.state.lineage import checkpoint
+
+    params = SemDedupParams(
+        eps=eps, nlist=nlist, seed=seed, id_col=id_col,
+        emb_col=emb_col, sample_cap=sample_cap,
+        hot_cap_factor=hot_cap_factor,
+        sub_sample_cap=sub_sample_cap, stage_version=1)
+    stats: dict = {}
+    t0 = time.monotonic()
+    ds, skipped = checkpoint(
+        lambda: semantic_dedup_clustered(
+            emb_ds, eps=eps, nlist=nlist, seed=seed, id_col=id_col,
+            emb_col=emb_col, sample_cap=sample_cap,
+            hot_cap_factor=hot_cap_factor,
+            sub_sample_cap=sub_sample_cap),
+        out_dir, "semdedup_decisions", params)
+    stats["semdedup_decisions_resumed"] = skipped
+    stats["wall_semdedup"] = round(time.monotonic() - t0, 2)
+    return ds, stats

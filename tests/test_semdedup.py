@@ -219,3 +219,25 @@ def test_hot_cluster_identical_group_never_escapes(ray_session):
         assert got[i] >= 0, f"identical member {i} escaped"
     assert got[0] == -1 or got[0] >= 0     # id 0 decided once
     assert len(got) == n
+
+
+def test_run_semdedup_checkpoint_resume(ray_session, synth_ds,
+                                        tmp_path):
+    """Second run under the same parameters must load the lineage
+    checkpoint (resumed flag) and return the identical decision
+    table; a changed eps must invalidate and recompute."""
+    from nxsearch_ray.stages.semdedup import run_semdedup
+
+    out = str(tmp_path / "ckpt")
+    ds1, st1 = run_semdedup(synth_ds, eps=EPS, nlist=4, seed=42,
+                            out_dir=out)
+    t1 = _collect(ds1).sort_by("id")
+    assert st1["semdedup_decisions_resumed"] is False
+    ds2, st2 = run_semdedup(synth_ds, eps=EPS, nlist=4, seed=42,
+                            out_dir=out)
+    assert st2["semdedup_decisions_resumed"] is True
+    assert _collect(ds2).sort_by("id").equals(t1)
+    ds3, st3 = run_semdedup(synth_ds, eps=0.99, nlist=4, seed=42,
+                            out_dir=out)
+    assert st3["semdedup_decisions_resumed"] is False
+    assert not _collect(ds3).sort_by("id").equals(t1)
