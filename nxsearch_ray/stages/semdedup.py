@@ -296,9 +296,23 @@ def semantic_dedup_clustered(emb_ds, *, eps: float = 0.4,
         hot = {c: s for c, s in sizes.items()
                if s > hot_cap_factor * mean and s > 1}
         if hot:
+            # one corpus pass pins ONLY the hot clusters' rows (the
+            # hot fraction of the corpus, object-store resident); the
+            # per-cluster training filters then scan that subset
+            # instead of re-running read+assign once per hot cluster
+            hot_keys = pa.array(np.array(sorted(hot), dtype=np.int64))
+
+            def only_hot(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return t.filter(pc.is_in(t.column("cluster"),
+                                         value_set=hot_keys))
+
+            hot_ds = assigned.map_batches(
+                only_hot, batch_format="pyarrow").materialize()
             sub_refs = {
                 c: train_ivf_centroids_ref(
-                    assigned.filter(expr=f"cluster == {c}"),
+                    hot_ds.filter(expr=f"cluster == {c}"),
                     int(np.ceil(s / mean)), emb_col=emb_col,
                     seed=seed + 1000003 * (c + 1),
                     sample_cap=sub_sample_cap)
