@@ -195,7 +195,7 @@ def synth_embeddings_parquet(n: int, *, dim: int = 64, seed: int = 42,
     ``dup_every`` before it (planted semantic duplicates with cosine
     1.0 — the clustered plan must find them all)."""
     out_dir = out_dir or (f"/tmp/synth_emb/v1_n{n}_d{dim}_s{seed}"
-                          f"_a{n_anchors}_e{dup_every}")
+                          f"_a{n_anchors}_e{dup_every}_f{num_files}")
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir

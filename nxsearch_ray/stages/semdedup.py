@@ -94,7 +94,9 @@ def _det_argmax(mat32: np.ndarray, cent32: np.ndarray) -> np.ndarray:
     if k == 1:
         return out
     top2 = np.partition(s, k - 2, axis=1)[:, -2:]
-    tie = (top2[:, 1] - top2[:, 0]) < 1e-4
+    # float32 GEMM worst-case reduction error grows ~dim·u for unit
+    # vectors, so a fixed margin under-covers at dim ≳ 2000; scale it
+    tie = (top2[:, 1] - top2[:, 0]) < max(1e-4, 8e-8 * mat32.shape[1])
     if tie.any():
         c64 = cent32.astype(np.float64)
         s64 = (mat32[tie, None, :].astype(np.float64)
@@ -151,7 +153,7 @@ def semantic_dedup_exact(emb_ds, *, eps: float = 0.4,
 
 
 def _cluster_rule(eps: float, id_col: str, emb_col: str,
-                  row_block: int = 4096):
+                  row_block: int = 4096, band: float = 1e-5):
     """Within-cluster SemDeDup rule as a map_groups fn: sort by id,
     then for each row the smallest EARLIER row with cos >= eps.  The
     similarity matrix is computed in row blocks so memory stays
@@ -160,40 +162,20 @@ def _cluster_rule(eps: float, id_col: str, emb_col: str,
     Computed in float32 — the embeddings' storage dtype — so the GEMM
     does half the flops and half the memory traffic of a float64
     kernel (profiled 3.6× end-to-end on the 400k-vector bench corpus).
-    The exact plan keeps float64 for DuckDB-oracle parity; a pair
-    within float32 rounding (~1e-7 relative) of eps could therefore
-    differ between plans, which the paper's epsilon (a loose knob, not
-    a sharp boundary) and the test corpora's wide margins absorb.
+    The exact plan keeps float64 for DuckDB-oracle parity; to keep the
+    clustered plan's drops a subset of the exact rule's even for pairs
+    near the threshold, any similarity within ``band`` of eps is
+    RECOMPUTED in float64 (normalized in float64 from the raw column,
+    fixed-order einsum) before the >= decision — the float32 fast path
+    decides only pairs with a margin wider than GEMM rounding.  Near-
+    threshold entries are rare, so the float64 matrix is built lazily
+    and the recompute touches O(near) elements, not O(n²).
 
     The eligible-row split below avoids materializing an (e, e-s)
     triangle mask per block: rows [0, s) are earlier than every column
     by construction, so only the small (block × block) diagonal needs
     masking — and only for columns the cheap top pass left unmatched
     (with a match above, the top hit is already the global min id)."""
-
-    def rule(ids: np.ndarray, mat: np.ndarray) -> np.ndarray:
-        n = len(ids)
-        dup = np.full(n, -1, dtype=np.int64)
-        for s in range(0, n, row_block):
-            e = min(s + row_block, n)
-            blk = mat[s:e]
-            m = e - s
-            if s:
-                hit = (mat[:s] @ blk.T) >= eps        # (s, m)
-                any_top = hit.any(axis=0)
-                first = hit.argmax(axis=0)            # first True = min
-                dup[s:e][any_top] = ids[first[any_top]]
-            else:
-                any_top = np.zeros(m, dtype=bool)
-            need = np.nonzero(~any_top)[0]            # block offsets
-            if len(need):
-                d = (blk @ blk[need].T) >= eps        # (m, |need|)
-                # row i eligible for column j iff i < need[j]
-                d[np.arange(m)[:, None] >= need[None, :]] = False
-                any_d = d.any(axis=0)
-                firstd = d.argmax(axis=0)
-                dup[s + need[any_d]] = ids[s + firstd[any_d]]
-        return dup
 
     def fn(g: pa.Table) -> pa.Table:
         ids = g.column(id_col).to_numpy()
@@ -204,6 +186,59 @@ def _cluster_rule(eps: float, id_col: str, emb_col: str,
         n = len(ids)
         if n == 0 or mat.shape[1] == 0:
             return _finalize(ids, np.full(n, -1, dtype=np.int64))
+
+        m64_cache: list[np.ndarray] = []
+
+        def mat64() -> np.ndarray:
+            if not m64_cache:
+                m64_cache.append(_normalize(_embedding_matrix(
+                    g, emb_col, dtype=np.float64))[order])
+            return m64_cache[0]
+
+        def ge_eps(s32: np.ndarray, rows_a: np.ndarray,
+                   rows_b: np.ndarray) -> np.ndarray:
+            """Elementwise ``cos >= eps`` with float64 recompute of
+            near-threshold entries.  rows_a / rows_b are the global
+            (sorted-order) row indices of s32's rows / columns."""
+            out = s32 >= eps
+            near = np.abs(s32 - np.float32(eps)) < band
+            if near.any():
+                m64 = mat64()
+                ii, jj = np.nonzero(near)
+                s64 = np.einsum("ij,ij->i", m64[rows_a[ii]],
+                                m64[rows_b[jj]])
+                out[ii, jj] = s64 >= eps
+            return out
+
+        def rule(rows: np.ndarray) -> np.ndarray:
+            """dup_of over the sub-matrix mat[rows] (rows sorted)."""
+            rids = ids[rows]
+            rmat = mat[rows]
+            k = len(rows)
+            dup = np.full(k, -1, dtype=np.int64)
+            for s in range(0, k, row_block):
+                e = min(s + row_block, k)
+                blk = rmat[s:e]
+                m = e - s
+                if s:
+                    hit = ge_eps(rmat[:s] @ blk.T,        # (s, m)
+                                 rows[:s], rows[s:e])
+                    any_top = hit.any(axis=0)
+                    first = hit.argmax(axis=0)    # first True = min
+                    dup[s:e][any_top] = rids[first[any_top]]
+                else:
+                    any_top = np.zeros(m, dtype=bool)
+                need = np.nonzero(~any_top)[0]    # block offsets
+                if len(need):
+                    d = ge_eps(blk @ blk[need].T,         # (m, |need|)
+                               rows[s:e], rows[s:e][need])
+                    # row i eligible for column j iff i < need[j]
+                    d[np.arange(m)[:, None] >= need[None, :]] = False
+                    any_d = d.any(axis=0)
+                    firstd = d.argmax(axis=0)
+                    dup[s + need[any_d]] = rids[s + firstd[any_d]]
+            return dup
+
         # Collapse byte-identical rows before the quadratic rule —
         # web corpora carry giant exact-duplicate groups (boilerplate
         # pages), and the GEMM over such a group is pure waste.  For a
@@ -214,21 +249,30 @@ def _cluster_rule(eps: float, id_col: str, emb_col: str,
         # itself (cos(x, r) = 1 >= eps).  The rule among
         # representatives alone is exact: any neighbor reachable via
         # a group member is reachable via its (smaller-id) rep.
+        # Two guards on the cos(x, r) = 1 justification: it needs
+        # eps <= 1, and it fails for ZERO-NORM rows (_normalize maps
+        # them to zero vectors — byte-identical, yet cos = 0), so each
+        # zero row stays its own representative and flows through the
+        # rule like any other row.
         key = np.ascontiguousarray(mat).view(np.dtype(
             (np.void, mat.dtype.itemsize * mat.shape[1]))).ravel()
         _, first, inv = np.unique(key, return_index=True,
                                   return_inverse=True)
-        if len(first) < n:
-            reps = np.sort(first)             # rep rows in id order
-            sub = rule(ids[reps], mat[reps])
+        r = first[inv]                        # each row's rep row
+        zr = np.nonzero(~mat.any(axis=1))[0]
+        r[zr] = zr
+        rep_mask = np.zeros(n, dtype=bool)
+        rep_mask[r] = True
+        reps = np.nonzero(rep_mask)[0]        # rep rows in id order
+        if len(reps) < n and eps <= 1.0 - band:
+            sub = rule(reps)
             rep_dup = np.full(n, -1, dtype=np.int64)
             rep_dup[reps] = sub
-            r = first[inv]                    # each row's rep row
             dup = rep_dup[r].copy()
             member = (np.arange(n) != r) & (dup < 0)
             dup[member] = ids[r[member]]
         else:
-            dup = rule(ids, mat)
+            dup = rule(np.arange(n))
         return _finalize(ids, dup)
 
     return fn

@@ -217,8 +217,39 @@ def test_hot_cluster_identical_group_never_escapes(ray_session):
         sub_sample_cap=512))
     for i in range(2, n, 2):
         assert got[i] >= 0, f"identical member {i} escaped"
-    assert got[0] == -1 or got[0] >= 0     # id 0 decided once
+    # the minimal member of the identical group must itself be kept
+    assert got[0] == -1, f"group-minimal id 0 wrongly dropped: {got[0]}"
     assert len(got) == n
+
+
+def test_zero_norm_rows_survive_collapse(ray_session):
+    """Two+ all-zero embeddings are byte-identical after _normalize
+    yet have cos = 0 < eps: the identical-row collapse must NOT drop
+    them (each zero row is its own representative), keeping the
+    clustered plan's drops a subset of the exact rule's."""
+    import ray.data as rd
+
+    from nxsearch_ray.stages.semdedup import (semantic_dedup_clustered,
+                                              semantic_dedup_exact)
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, DIM))
+    base[5] = 0.0
+    base[17] = 0.0
+    base[23] = 0.0
+    base[30] = base[10]                     # one real identical pair
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array([r.astype(np.float32) for r in base],
+                              type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(3)
+    got = _as_map(semantic_dedup_clustered(ds, eps=EPS, nlist=1,
+                                           seed=42))
+    for z in (5, 17, 23):
+        assert got[z] == -1, f"zero-norm row {z} wrongly dropped"
+    assert got[30] == 10
+    exact = _as_map(semantic_dedup_exact(ds, eps=EPS))
+    assert got == exact
 
 
 def test_run_semdedup_checkpoint_resume(ray_session, synth_ds,
