@@ -141,8 +141,10 @@ def run_benchmarks() -> dict:
     def flagship_scalepath():
         ds = read_parquet_clean(
             corpus, columns=["page_id", "url", "warc_ts", "html", "lang"])
-        return clusters_as_table(run_dedup(
-            ds, cfg, verify_mode="bucketed", cc_mode="labelprop"))
+        res = run_dedup(ds, cfg, verify_mode="bucketed",
+                        cc_mode="labelprop")
+        stage_walls["dedup_synth_scalepath"] = _walls(res)
+        return clusters_as_table(res)
 
     sec_sp, _ = _timed(flagship_scalepath)
     queries["dedup_synth_scalepath"] = round(sec_sp, 3)

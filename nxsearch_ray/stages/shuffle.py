@@ -33,6 +33,25 @@ def default_num_partitions() -> int:
     return max(2, min(cluster_cpus(), max(8, cluster_cpus() // 2)))
 
 
+def sized_num_partitions(n_rows: int,
+                         rows_per_partition: int = 65536) -> int:
+    """Exchange width proportional to the DATA, clamped to
+    [8, cluster_cpus() // 2].
+
+    Measured (round 5, 32-cpu session, bucketed verify pair_join):
+    at 26k pages 32 partitions ran 24.7 s vs 2.2 s at 8; at 520k
+    pages 32 ran 40.1 s vs 6.3 s at 8 — each hash-shuffle partition
+    is an aggregator actor whose fixed coordination cost (~2.6 s
+    remote wall apiece when ≥32 actors contend on one node) dwarfs
+    the per-row work until partitions hold ~64k rows.  The cap keeps
+    a single node out of the pathological regime while still letting
+    width grow with the data on a real multi-node cluster (where
+    cluster_cpus() is hundreds and aggregators spread across
+    nodes)."""
+    want = max(8, -(-int(n_rows) // rows_per_partition))
+    return min(want, max(8, cluster_cpus() // 2))
+
+
 def cluster_cpus() -> int:
     try:
         import ray

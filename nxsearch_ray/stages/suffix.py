@@ -280,12 +280,17 @@ def suffix_verify_broadcast(pairs_ds, idx_ref, cfg: PipelineConfig,
 
 
 def suffix_verify_bucketed(pairs_ds, canonical_ds, cfg: PipelineConfig,
-                           num_buckets: int = 64):
+                           num_partitions: int | None = None):
     """Scale path for the exact-adjudication stage: attach both docs'
     token sequences via the fused pair-payload join (no driver-side
     token index), then a stateless per-pair exact decision.  Decision
-    math identical to the broadcast path (shared ``exact_adjudicate``)."""
+    math identical to the broadcast path (shared ``exact_adjudicate``).
+
+    Exchange width sized to the screen-pair stream (the payload side
+    is semi-join-pruned to ≤ 2 rows per pair); token_ids payloads are
+    heavy, so the per-partition row target is small."""
     from nxsearch_ray.stages.join import pair_join
+    from nxsearch_ray.stages.shuffle import sized_num_partitions
     from nxsearch_ray.stages.signatures import list_column_numpy
 
     import ray
@@ -326,8 +331,13 @@ def suffix_verify_bucketed(pairs_ds, canonical_ds, cfg: PipelineConfig,
 
     tok_slim = canonical_ds.select_columns(["page_id", "token_ids"]) \
         .map_batches(prune, batch_format="pyarrow")
+    if num_partitions is None:
+        # pairs_ds was materialized above — count() is metadata
+        num_partitions = sized_num_partitions(
+            2 * pairs_ds.count(), rows_per_partition=8192)
     j2 = pair_join(pairs_ds, tok_slim, right_key="page_id",
-                   pair_schema=pair_schema, right_schema=tok_schema)
+                   pair_schema=pair_schema, right_schema=tok_schema,
+                   num_partitions=num_partitions)
 
     cfg_json = cfg.to_json()
 

@@ -386,31 +386,40 @@ def _unpack_blobs(col, num_perms: int):
 
 
 def verify_pairs_bucketed(pairs_ds, sig_ds, cfg: PipelineConfig,
-                          num_buckets: int = 64):
+                          num_partitions: int | None = None):
     """Scale path: one fused pair-payload join (stages/join.pair_join —
     the signature payload rides each of its two shuffles exactly once,
     packed into a single binary blob per endpoint, see
     ``_pack_payload``) then a stateless score.  Decision math
-    identical to the broadcast path (shared helpers)."""
+    identical to the broadcast path (shared helpers).
+
+    Exchange width is sized to the DATA (shuffle.sized_num_partitions)
+    — round 4's full-width (one partition per cluster CPU) choice was
+    a measured regression at every tested scale on a single node
+    (24.7 s vs 2.2 s at 26k pages, 40 s vs 6.3 s at 520k): each extra
+    hash-shuffle partition is an aggregator actor with seconds of
+    fixed coordination cost.  ``sig_ds`` must be materialized /
+    checkpointed (run_dedup pins it) so ``count()`` is metadata, not
+    an execution."""
     from nxsearch_ray.stages.join import pair_join
-    from nxsearch_ray.stages.shuffle import cluster_cpus
+    from nxsearch_ray.stages.shuffle import sized_num_partitions
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                              ("source", pa.string())])
     sig_schema = pa.schema([("page_id", pa.int64()),
                             ("blob", pa.binary())])
 
+    if num_partitions is None:
+        num_partitions = sized_num_partitions(sig_ds.count())
+
     P = cfg.num_perms
     packed = sig_ds.select_columns(
         ["page_id", "mh_res", "simhash", "bottomk"]) \
         .map_batches(lambda t: _pack_payload(t, P),
                      batch_format="pyarrow")
-    # full-width exchange parallelism: these two exchanges ARE the
-    # verify stage at scale; half-width (the small-scale default)
-    # leaves half the cluster idle through its dominant phase
     j2 = pair_join(pairs_ds, packed, right_key="page_id",
                    pair_schema=pair_schema, right_schema=sig_schema,
-                   num_partitions=max(8, cluster_cpus()))
+                   num_partitions=num_partitions)
 
     cfg_json = cfg.to_json()
 
