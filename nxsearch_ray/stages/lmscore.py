@@ -1,15 +1,17 @@
-"""Unigram language-model quality scoring (CCNet-style).
+"""Language-model quality scoring (CCNet-style): unigram MLE and
+interpolated Kneser-Ney bigram perplexity.
 
 CCNet (Wenzek et al., "CCNet: Extracting high quality monolingual
 datasets from web crawl data", arXiv:1911.00359, public) ranks web
 documents by LM perplexity and keeps the low-perplexity head.  The
 full pipeline uses a 5-gram KenLM; a KenLM binary is library-bound in
-this container, so this stage implements the UNIGRAM member of the
-family exactly — the corpus's own maximum-likelihood unigram model —
-which is fully SQL-twinnable and exercises the identical Ray dataflow
-a KenLM scorer needs (census/model build -> broadcast -> streaming
-actor-pool lookup).  Swapping in a real KenLM means replacing only
-the per-batch lookup kernel.
+this container, so this stage implements two members of the family
+exactly: the corpus's own maximum-likelihood UNIGRAM model, and an
+interpolated KNESER-NEY BIGRAM model (Kneser & Ney 1995; Chen &
+Goodman 1998 — CCNet's operative filter shape).  Both are fully
+SQL-twinnable and run the identical Ray dataflow a KenLM scorer
+needs (census/model build -> broadcast -> streaming lookup); a real
+KenLM swap replaces only the per-batch lookup kernel.
 
 Tokenization matches the repo's WORD_RE census convention
 (stages/textstats.py WORD_RE = \\S+ over lowercased text), i.e.
@@ -146,6 +148,205 @@ class UnigramScorer:
              pa.array(np.exp(logloss[has]), type=pa.float64())],
             schema=SCORE_SCHEMA)
         return out
+
+
+KN_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                       ("n_transitions", pa.int64()),
+                       ("logloss", pa.float64()),
+                       ("perplexity", pa.float64())])
+
+
+def _transitions(batch: pa.Table, id_col: str, text_col: str):
+    """(doc_row, w1, w2) for every within-doc adjacent token pair.
+    Token order inside a doc is the split order (positional), so the
+    transition stream is exactly the doc's bigram sequence."""
+    parents, toks = _tokens(batch, text_col)
+    tok_np = np.asarray(toks.to_pylist(), dtype=np.str_)
+    if len(tok_np) < 2:
+        e = np.empty(0, dtype=np.int64)
+        s = np.empty(0, dtype=tok_np.dtype if len(tok_np)
+                     else np.dtype("<U1"))
+        return e, s, s
+    m = parents[1:] == parents[:-1]
+    return parents[1:][m], tok_np[:-1][m], tok_np[1:][m]
+
+
+def _bigram_key(w1: np.ndarray, w2: np.ndarray) -> np.ndarray:
+    """Collision-free combined key ``"{len(w1)}:{w1}{w2}"``: a \\S+
+    token can contain ANY non-whitespace byte (separator chars
+    included), so a separator-joined key could merge distinct pairs;
+    the length prefix disambiguates unconditionally."""
+    if not len(w1):
+        return w1
+    l1 = np.char.str_len(w1).astype(np.str_)
+    return np.char.add(np.char.add(l1, ":"), np.char.add(w1, w2))
+
+
+def bigram_census(docs_ds, *, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """(w1, w2, n) corpus bigram census with a per-batch combiner —
+    the groupby shuffles BIGRAM-VOCABULARY rows, not token rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, w1, w2 = _transitions(batch, id_col, text_col)
+        if not len(w1):
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        key = _bigram_key(w1, w2)
+        _, idx, counts = np.unique(key, return_index=True,
+                                   return_counts=True)
+        return pa.table({"w1": pa.array(w1[idx]),
+                         "w2": pa.array(w2[idx]),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    return docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).sum("n")
+
+
+def kn_bigram_model_ref(census_ds, *, discount: float = 0.75,
+                        bigram_cap: int | None = None):
+    """Fold the bigram census into ONE object-store Kneser-Ney model.
+
+    Interpolated KN (Kneser & Ney 1995; Chen & Goodman 1998, public):
+      p(w2|w1) = max(c12 - d, 0)/c1 + d·N1+(w1·)/c1 · Pcont(w2)
+      Pcont(w2) = N1+(·w2) / B,  B = distinct bigram types.
+
+    The context table (c1, fanout) and continuation table are
+    VOCABULARY-sized and kept whole; only the bigram-count table is
+    subject to ``bigram_cap`` (top-K by count desc, key asc — a missed
+    lookup falls back to the formula with c12 = 0, i.e. the pure
+    backoff term, the standard capped-LM behavior).  Built in one
+    remote task; the driver never holds the vocabulary."""
+    import ray
+
+    refs = census_ds.to_arrow_refs()
+
+    @ray.remote
+    def _build(*blocks):
+        tbs = [t for t in blocks if t.num_columns]
+        t = pa.concat_tables(tbs) if tbs else pa.table(
+            {"w1": pa.array([], type=pa.string()),
+             "w2": pa.array([], type=pa.string()),
+             "n": pa.array([], type=pa.int64())})
+        ncol = "sum(n)" if "sum(n)" in t.column_names else "n"
+        w1 = np.asarray(t.column("w1").to_pylist(), dtype=np.str_)
+        w2 = np.asarray(t.column("w2").to_pylist(), dtype=np.str_)
+        c12 = t.column(ncol).to_numpy().astype(np.float64)
+        B = float(len(w1))
+        # context totals + fanout over the FULL census
+        ctx_w, ctx_inv = np.unique(w1, return_inverse=True) \
+            if len(w1) else (w1, np.empty(0, np.int64))
+        c1 = np.bincount(ctx_inv, weights=c12,
+                         minlength=len(ctx_w))
+        fan1 = np.bincount(ctx_inv,
+                           minlength=len(ctx_w)).astype(np.float64)
+        cont_w, cont_n = np.unique(w2, return_counts=True) \
+            if len(w2) else (w2, np.empty(0, np.int64))
+        if bigram_cap is not None and len(w1) > bigram_cap:
+            keep = np.lexsort((_bigram_key(w1, w2), -c12))[:bigram_cap]
+            w1, w2, c12 = w1[keep], w2[keep], c12[keep]
+        key = _bigram_key(w1, w2)
+        order = np.argsort(key)
+        return {"key": key[order], "c12": c12[order],
+                "ctx_w": ctx_w, "c1": c1, "fan1": fan1,
+                "cont_w": cont_w,
+                "cont_n": cont_n.astype(np.float64),
+                "B": B, "d": float(discount)}
+
+    return _build.remote(*refs)
+
+
+def _sorted_lookup(sorted_keys: np.ndarray, vals: np.ndarray,
+                   probe: np.ndarray, default: float) -> np.ndarray:
+    """Vectorized exact-match lookup on a sorted string array.  The
+    probe keeps its own itemsize (casting to the model's would
+    TRUNCATE longer unseen strings into false hits)."""
+    if not len(sorted_keys):
+        return np.full(len(probe), default)
+    pos = np.searchsorted(sorted_keys, probe)
+    pos_c = np.clip(pos, 0, len(sorted_keys) - 1)
+    hit = sorted_keys[pos_c] == probe
+    return np.where(hit, vals[pos_c], default)
+
+
+class KNBigramScorer:
+    """Task-pool kernel: model fetched once per worker, vectorized
+    searchsorted lookups + segmented mean per batch.  The probability
+    expression mirrors the SQL twin term-for-term (same operation
+    order) for float parity."""
+
+    def __init__(self, model_ref, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+        m = ray.get(model_ref) if not isinstance(model_ref, dict) \
+            else model_ref
+        self.m = m
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.m
+        ids = batch.column(self.id_col).to_numpy()
+        doc, w1, w2 = _transitions(batch, self.id_col, self.text_col)
+        if len(w1):
+            key = _bigram_key(w1, w2)
+            c12 = _sorted_lookup(m["key"], m["c12"], key, 0.0)
+            c1 = _sorted_lookup(m["ctx_w"], m["c1"], w1, 0.0)
+            fan1 = _sorted_lookup(m["ctx_w"], m["fan1"], w1, 0.0)
+            n1p = _sorted_lookup(m["cont_w"], m["cont_n"], w2, 0.0)
+            B = m["B"]
+            d = m["d"]
+            pcont = n1p / B if B else np.zeros_like(n1p)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p = np.where(
+                    c1 > 0,
+                    np.maximum(c12 - d, 0.0) / np.where(c1 > 0, c1, 1.0)
+                    + d * fan1 / np.where(c1 > 0, c1, 1.0) * pcont,
+                    pcont)
+            # self-trained uncapped models never hit this floor; a
+            # capped model can (unseen continuation after an unseen
+            # context) — add-one-style smallest mass
+            floor = 1.0 / (B + len(m["cont_w"]) + 1.0)
+            p = np.where(p > 0, p, floor)
+            neglog = -np.log(p)
+        else:
+            neglog = np.empty(0, dtype=np.float64)
+        n_tr = np.bincount(doc, minlength=batch.num_rows) \
+            .astype(np.int64)
+        sums = np.bincount(doc, weights=neglog,
+                           minlength=batch.num_rows)
+        has = n_tr > 0
+        logloss = np.divide(sums, n_tr, out=np.zeros_like(sums),
+                            where=has)
+        return pa.Table.from_arrays(
+            [pa.array(ids[has], type=pa.int64()),
+             pa.array(n_tr[has]),
+             pa.array(logloss[has], type=pa.float64()),
+             pa.array(np.exp(logloss[has]), type=pa.float64())],
+            schema=KN_SCHEMA)
+
+
+def lm_perplexity_kn(docs_ds, *, id_col: str = "doc_id",
+                     text_col: str = "text", discount: float = 0.75,
+                     bigram_cap: int | None = None, model_ref=None,
+                     concurrency=(1, 8)):
+    """Per-document interpolated Kneser-Ney BIGRAM perplexity against
+    the corpus's own bigram statistics — the n-gram member of the
+    CCNet filter family (the unigram twin is ``lm_perplexity``; a
+    KenLM 5-gram is library-bound here, but the dataflow — census
+    combiner → one-task model fold → broadcast → stateless scorer —
+    is order-independent).  Documents with fewer than 2 tokens have
+    no transitions and are omitted, matching the SQL twin's joins."""
+    if model_ref is None:
+        model_ref = kn_bigram_model_ref(
+            bigram_census(docs_ds, id_col=id_col, text_col=text_col),
+            discount=discount, bigram_cap=bigram_cap)
+    return docs_ds.map_batches(
+        KNBigramScorer, fn_constructor_args=(model_ref, id_col,
+                                             text_col),
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=concurrency, num_cpus=1)
 
 
 def lm_perplexity(docs_ds, *, id_col: str = "doc_id",

@@ -31,21 +31,43 @@ def test_expected_query_inventory():
     """The graded operator inventory — adding is fine, silently losing
     an entry is not."""
     q = set(entry_mod.queries())
+    # signatures/canonicalize/dedup_clusters were consolidated in r5
+    # (duplicates of their _plain twins / verify+sizes pair — round-4
+    # verdict task 2); their machinery is still covered by the
+    # remaining entries and entry().
     expected = {
         "pages_build", "extract_text", "exact_dedup", "doc_stats",
         "lang_counts", "ngram_jaccard", "fingerprint", "ann_topk",
-        "ann_topk_lsh", "ann_topk_ivf", "dedup_clusters", "dedup_pairs",
-        "cluster_sizes", "signatures", "canonicalize", "langid",
+        "ann_topk_lsh", "ann_topk_ivf", "dedup_pairs",
+        "cluster_sizes", "langid",
         "image_features", "audio_features", "video_frames",
         "embedding_dups", "embedding_dups_lsh",
         "query_probe", "bucket_census",
-        "dedup_exact_verify", "signatures_plain",
+        "dedup_exact_verify", "signatures_plain", "canonicalize_plain",
         "ann_lsh_recall", "ann_ivf_recall", "ann_recall_report",
         "pii_scrub", "decontaminate", "gopher_quality", "url_blocklist",
         "image_features_real", "web_clean",
+        "lm_perplexity", "lm_perplexity_ngram", "semantic_dedup",
+        "semdedup_clustered_verify", "dedup_cascade",
     }
     missing = expected - q
     assert not missing, f"queries() lost entries: {missing}"
+
+
+def test_sql_twinned_queries_precede_no_oracle():
+    """The driver grades only the first 50 queries() entries; a
+    hash-graded (SQL-twinned) query displaced past the cap by a
+    rows-only entry silently loses its correctness gate (round-4
+    verdict task 2).  Enforce: every oracled key comes first, and
+    there are at most 50 oracled keys."""
+    names = list(entry_mod.queries())
+    oracled = set(entry_mod.oracle_sql())
+    n_oracled = len(oracled)
+    assert n_oracled <= 50, f"{n_oracled} oracled queries exceed cap"
+    head = names[:n_oracled]
+    assert set(head) == oracled, (
+        f"non-oracled entries inside the graded head: "
+        f"{set(head) - oracled}")
 
 
 def test_entry_smoke(ray_session):

@@ -128,3 +128,92 @@ def test_cross_corpus_model_reuse(ray_session):
     # all-OOV doc scores exactly the floor
     m = ray.get(ref_model)
     assert got[101]["logloss"] == pytest.approx(-m["floor"])
+
+
+# ---------------- Kneser-Ney bigram tier ----------------------------
+
+def _re2_tokens(text):
+    """RE2-faithful \\S+ tokenization: RE2 (pyarrow + DuckDB) treats
+    only [\\t\\n\\f\\r ] as \\s, while Python's str.split()/re \\s also
+    split on \\x1c-\\x1f and unicode spaces — the engine follows RE2."""
+    import re
+    return [t for t in re.split("[\t\n\f\r ]+", text.lower()) if t]
+
+
+def _kn_oracle(docs, d=0.75):
+    """Python restatement of interpolated KN over the corpus's own
+    bigram census: p = max(c12-d,0)/c1 + d*N1+(w1.)/c1 * N1+(.w2)/B."""
+    from collections import Counter
+    trans = []
+    for doc_id, text in docs:
+        toks = _re2_tokens(text)
+        trans += [(doc_id, a, b) for a, b in zip(toks, toks[1:])]
+    big = Counter((a, b) for _, a, b in trans)
+    c1 = Counter()
+    fan = Counter()
+    cont = Counter()
+    for (a, b), c in big.items():
+        c1[a] += c
+        fan[a] += 1
+        cont[b] += 1
+    B = len(big)
+    out = {}
+    for doc_id, a, b in trans:
+        p = (max(big[(a, b)] - d, 0.0) / c1[a]
+             + d * fan[a] / c1[a] * (cont[b] / B))
+        out.setdefault(doc_id, []).append(-math.log(p))
+    return {k: sum(v) / len(v) for k, v in out.items()}
+
+
+def _score_kn(ds, **kw):
+    import ray
+    from nxsearch_ray.stages.lmscore import lm_perplexity_kn
+    tbs = [t for t in ray.get(lm_perplexity_kn(ds, **kw)
+                              .to_arrow_refs()) if t.num_columns]
+    tb = pa.concat_tables(tbs)
+    return dict(zip(tb.column("doc_id").to_pylist(),
+                    tb.column("logloss").to_pylist()))
+
+
+def test_kn_matches_python_oracle(ray_session):
+    got = _score_kn(_ds())
+    want = _kn_oracle(DOCS)
+    assert set(got) == set(want)          # docs 3 (empty) omitted
+    assert 3 not in got
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_kn_single_token_doc_omitted(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["lonely", "two words two words"])}))
+    got = _score_kn(ds)
+    assert set(got) == {1}
+
+
+def test_kn_bigram_cap_backoff(ray_session):
+    """A capped bigram table must route missed lookups through the
+    pure-backoff term (c12 = 0), never crash or emit p <= 0."""
+    got = _score_kn(_ds(), bigram_cap=3)
+    full = _score_kn(_ds())
+    assert set(got) == set(full)
+    # capped probabilities can only shrink -> logloss only grows
+    for k in got:
+        assert got[k] >= full[k] - 1e-12
+
+
+def test_kn_separator_byte_in_token(ray_session):
+    """\\x1f is non-whitespace, so tokens may CONTAIN it; the
+    length-prefixed pair key must not merge ('a\\x1fb','c') with
+    ('a','b\\x1fc')."""
+    import ray.data as rd
+    docs = [(0, "a\x1fb c"), (1, "a b\x1fc x a b\x1fc")]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+        "text": pa.array([t for _, t in docs])}))
+    got = _score_kn(ds)
+    want = _kn_oracle(docs)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
