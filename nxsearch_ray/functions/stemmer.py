@@ -6,8 +6,9 @@ from params (reference: src/core/filters_builtin.c:206-245).  libstemmer's
 this module implements that specification directly (no code is derived from
 libstemmer).  Like ``sb_stemmer_new(lang, NULL)`` returning NULL for unknown
 languages, ``get_stemmer`` returns None for languages we do not implement
-(the filter then passes tokens through unchanged; only "en" ships, matching
-the single-language stopword situation in the reference).
+(the filter then passes tokens through unchanged).  English (this module)
+plus French/German/Spanish (functions/snowball.py) ship; other languages
+pass through.
 
 The C API is non-reentrant (src/core/filters_builtin.c:230-234) which forces
 one stemmer per actor there; our implementation is a pure function, but the
@@ -278,7 +279,11 @@ class EnglishStemmer:
 
 def get_stemmer(lang: str):
     """Returns a stemmer for the language or None (pass-through), mirroring
-    sb_stemmer_new's NULL for unsupported languages."""
-    if lang == "en":
+    sb_stemmer_new's NULL for unsupported languages.  Like libstemmer,
+    both ISO codes and full algorithm names are accepted
+    (sb_stemmer_new("fr") == sb_stemmer_new("french"))."""
+    if lang in ("en", "english"):
         return EnglishStemmer()
-    return None
+    from nxsearch_ray.functions.snowball import get_snowball
+
+    return get_snowball(lang)
