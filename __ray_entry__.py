@@ -1331,6 +1331,21 @@ _BM25_LIMIT = 500
 _SQL_TOKEN_RE = (r"[\pL\pN\pM\p{Pc}]+"
                  r"(?:[''’.:·]\pL[\pL\pN\pM\p{Pc}]*"
                  r"|[.,;''’]\pN[\pL\pN\pM\p{Pc}]*)*")  # '' = SQL-escaped '
+
+# CJK second pass (functions/tokenizer.PASS2_PATTERN): RE2-safe, applied
+# to every coarse token via a list lambda — identity on non-CJK tokens,
+# so engine (conditional) and oracle (unconditional) agree exactly.
+from nxsearch_ray.functions.tokenizer import PASS2_PATTERN as _PASS2
+
+_SQL_PASS2_RE = _PASS2.replace("'", "''")  # '' = SQL-escaped '
+
+
+def _sql_tokens(col: str) -> str:
+    """Tokenizer twin: two-pass segmentation as a DuckDB expression,
+    in lockstep with functions/tokenizer.segment_words."""
+    return (f"flatten(list_transform(regexp_extract_all({col}, "
+            f"'{_SQL_TOKEN_RE}'), x -> regexp_extract_all(x, "
+            f"'{_SQL_PASS2_RE}')))")
 _CANON_DOCS_CACHE: dict[str, Any] = {}
 
 
@@ -1677,7 +1692,7 @@ FROM pages GROUP BY page_id // 4 HAVING count(*) >= 2
         # band_fanout = every doc emits exactly 32 band keys
         "bucket_census": f"""
 WITH tok AS (SELECT doc_id,
-                    regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS ts
+                    {_sql_tokens('text')} AS ts
              FROM documents),
 sh AS (SELECT doc_id,
               array_to_string(ts, ' ') AS seq,
@@ -1705,7 +1720,7 @@ SELECT source, bucket_size, n_buckets FROM (
 """,
         "signatures_plain": f"""
 WITH tok AS (SELECT doc_id,
-                    regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS ts
+                    {_sql_tokens('text')} AS ts
              FROM documents)
 SELECT doc_id,
        CASE WHEN len(ts) = 0 THEN 0
@@ -1862,7 +1877,7 @@ USING (doc_id)
 """,
         "term_search": f"""
 WITH tok AS (SELECT doc_id,
-                    regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS ts
+                    {_sql_tokens('text')} AS ts
              FROM documents)
 SELECT doc_id FROM tok
 WHERE list_contains(ts, 'hash')
@@ -1871,7 +1886,7 @@ WHERE list_contains(ts, 'hash')
 """,
         "bm25_topk": f"""
 WITH tok AS (SELECT doc_id,
-                    regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS ts
+                    {_sql_tokens('text')} AS ts
              FROM documents),
 stats AS (SELECT count(*) AS n, sum(len(ts)) AS tt FROM tok),
 terms(term) AS (VALUES ('hash'), ('join'), ('merge')),
@@ -1890,9 +1905,9 @@ ORDER BY score DESC, m.doc_id LIMIT {_BM25_LIMIT}
 """,
         "canonicalize_plain": f"""
 SELECT doc_id,
-       len(regexp_extract_all(text, '{_SQL_TOKEN_RE}')) AS doc_len,
+       len({_sql_tokens('text')}) AS doc_len,
        len(list_distinct(
-           regexp_extract_all(text, '{_SQL_TOKEN_RE}'))) AS n_unique
+           {_sql_tokens('text')})) AS n_unique
 FROM documents
 """,
         "topk_events": """
@@ -1901,8 +1916,7 @@ QUALIFY row_number() OVER (PARTITION BY event_type
                            ORDER BY value DESC, event_id ASC) <= 5
 """,
         "fuzzy_lookup": f"""
-WITH tok AS (SELECT unnest(regexp_extract_all(
-                 text, '{_SQL_TOKEN_RE}')) AS term FROM documents),
+WITH tok AS (SELECT unnest({_sql_tokens('text')}) AS term FROM documents),
 vocab AS (SELECT term, count(*) AS total FROM tok GROUP BY term),
 probes(word) AS (VALUES {", ".join(f"('{p}')" for p in _FUZZY_PROBES)}),
 cand AS (SELECT p.word, v.term, v.total,
@@ -1921,7 +1935,7 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (word)
 """,
         "tfidf_topk": f"""
 WITH tok AS (SELECT doc_id,
-                    regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS ts
+                    {_sql_tokens('text')} AS ts
              FROM documents),
 stats AS (SELECT count(*) AS n FROM tok),
 terms(term) AS (VALUES ('hash'), ('join'), ('merge')),

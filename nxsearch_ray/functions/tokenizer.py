@@ -21,6 +21,22 @@ regex implementing the UAX #29 word-boundary subset the corpus exercises:
   * everything else breaks (``one;two;three`` → three tokens,
     t_tokenize.c test_case_5).
 
+CJK (second pass — UAX#29 defaults, reference tokenizer.c uses ICU whose
+CJ *dictionary* merging stays a pinned divergence, tests/test_icu_parity.py):
+
+  * Han and Hiragana have no UAX#29 word-break class, so every ideograph
+    / hiragana syllable is its OWN token (WB999 break-everywhere; this is
+    also Lucene StandardTokenizer's CJK unigram behavior);
+  * Katakana runs join (WB13 Katakana × Katakana), including the
+    prolonged-sound mark U+30FC and half-width forms;
+  * combining marks glue to the preceding CJK char (WB4 Extend);
+  * script boundaries break (``日本語とEnglish混在`` splits at と/English).
+
+The second pass is applied only to coarse first-pass tokens that contain
+CJK, is the identity on tokens that don't, and uses only RE2-expressible
+constructs so the DuckDB oracle twin (__ray_entry__._sql_tokens) can run
+the exact same two regexes via flatten(list_transform(...)).
+
 Behavior is pinned by fixtures from reference src/tests/t_tokenize.c:22-80
 (including matching *shipped* behavior, not the documented-aspirational
 ``test_case_not_passing`` at t_tokenize.c:66-69).
@@ -40,11 +56,53 @@ _TOKEN_RE = regex.compile(
     regex.V1,
 )
 
+# --- CJK second pass -------------------------------------------------
+# Character ranges shared verbatim with the DuckDB oracle (RE2 has no
+# class subtraction, so CJK handling is a re-split of coarse tokens
+# instead of a subtracted word class).  HANH = Han ideographs (+ CJK
+# iteration/number marks U+3005/3007/3021-3029/3038-303B, compat
+# ideographs, extensions A + SIP/TIP) and Hiragana (letters + iteration
+# marks).  KATA = Katakana letters, prolonged-sound/iteration marks
+# U+30FC-30FF, phonetic extensions, and the half-width forms incl. the
+# half-width voicing marks U+FF9E/FF9F (Lm, Word_Break=Extend-alike).
+HANH_RANGES = (
+    "\u2E80-\u2FDF\u3005\u3007\u3021-\u3029\u3038-\u303B"
+    "\u3041-\u3096\u309D-\u309F\u3400-\u4DBF\u4E00-\u9FFF"
+    "\uF900-\uFAFF\U00020000-\U0003134F"
+)
+KATA_RANGES = "\u30A1-\u30FA\u30FC-\u30FF\u31F0-\u31FF\uFF66-\uFF9F"
+# Mid-word joiners the coarse pass can embed (MidLetter/MidNum/
+# MidNumLet/Single_Quote); pass 2 re-joins across them only between
+# non-CJK word chars, so a joiner orphaned by a CJK split is dropped
+# (``日本,5`` → 日 本 5, same as ICU).
+_JOINERS = "'’.:·,;"
+_NW = f"[^{HANH_RANGES}{KATA_RANGES}{_JOINERS}]"
+# Ordered alternation; the three alternatives have disjoint start sets,
+# so leftmost-first (regex module) and RE2 agree.
+PASS2_PATTERN = (
+    rf"[{HANH_RANGES}]\pM*"
+    rf"|(?:[{KATA_RANGES}]\pM*)+"
+    rf"|{_NW}+(?:[{_JOINERS}]{_NW}+)*"
+)
+_PASS2_RE = regex.compile(PASS2_PATTERN, regex.V0)
+_CJK_DETECT = regex.compile(f"[{HANH_RANGES}{KATA_RANGES}]")
+
 
 def segment_words(text: str) -> list[str]:
     """ICU UBRK_WORD-equivalent segmentation: the word runs only
-    (UBRK_WORD_NONE runs are skipped, reference src/core/tokenizer.c:280-282)."""
-    return _TOKEN_RE.findall(text)
+    (UBRK_WORD_NONE runs are skipped, reference src/core/tokenizer.c:280-282).
+    Coarse UAX#29 pass, then a CJK re-split (see module docstring) on the
+    coarse tokens that contain Han/Hiragana/Katakana."""
+    toks = _TOKEN_RE.findall(text)
+    if _CJK_DETECT.search(text) is None:
+        return toks
+    out: list[str] = []
+    for tok in toks:
+        if _CJK_DETECT.search(tok) is None:
+            out.append(tok)
+        else:
+            out.extend(_PASS2_RE.findall(tok))
+    return out
 
 
 @dataclass
@@ -90,7 +148,7 @@ def tokenize(text: str, pipeline) -> tuple[TokenSet, list[str]]:
     """
     tset = TokenSet()
     seq: list[str] = []
-    for word in _TOKEN_RE.findall(text):
+    for word in segment_words(text):
         out = pipeline.run(word)
         if out is None:  # DISCARD (or ERROR → token dropped)
             continue

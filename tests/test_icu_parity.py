@@ -210,6 +210,47 @@ SEGMENT_CASES = [
     # Arabic tatweel (U+0640, Lm — a word character for ICU too):
     # elongated words stay ONE token
     ("العــربية", ["العــربية"]),
+    # --- CJK second pass (UAX#29 defaults; ICU's CJ *dictionary*
+    # merging remains the pinned divergence below).  Han / Hiragana
+    # have no word-break class → singleton tokens (WB999, also Lucene
+    # StandardTokenizer's CJK unigram rule); Katakana runs join (WB13).
+    ("日本語のテキストです", ["日", "本", "語", "の", "テキスト", "で", "す"]),
+    ("中文分词很难", ["中", "文", "分", "词", "很", "难"]),
+    ("ひらがなとカタカナ", ["ひ", "ら", "が", "な", "と", "カタカナ"]),
+    ("漢字かな交じり文", ["漢", "字", "か", "な", "交", "じ", "り", "文"]),
+    # script boundaries break; Latin segment keeps its own rules
+    ("日本語とEnglish混在", ["日", "本", "語", "と", "English", "混", "在"]),
+    ("321万円です", ["321", "万", "円", "で", "す"]),
+    ("ミスターDonald’s", ["ミスター", "Donald’s"]),
+    ("カタカナ・ワープロ", ["カタカナ", "ワープロ"]),   # U+30FB breaks (Po)
+    # prolonged-sound mark U+30FC is Word_Break=Katakana: joins runs,
+    # but breaks from hiragana (らーめん: ら | ー | め | ん)
+    ("スーパーマーケット", ["スーパーマーケット"]),
+    ("らーめん", ["ら", "ー", "め", "ん"]),
+    # half-width katakana incl. voicing marks U+FF9E/FF9F stay one run
+    ("ｶﾞｷﾞｸﾞ ﾃﾞｰﾀ", ["ｶﾞｷﾞｸﾞ", "ﾃﾞｰﾀ"]),
+    # small-kana phonetic extensions (U+31F0..) are Katakana
+    ("アイヌㇰㇱ", ["アイヌㇰㇱ"]),
+    # combining marks glue to the preceding CJK char (WB4)
+    ("がき", ["が", "き"]),
+    # iteration marks: 々 (Han, Lm) and ゝ/ヽ each singleton/run-join
+    ("人々", ["人", "々"]),
+    ("こゝろ", ["こ", "ゝ", "ろ"]),
+    # a joiner orphaned by a CJK split is dropped, same as ICU
+    ("日本,5", ["日", "本", "5"]),
+    ("a.日", ["a", "日"]),
+    ("第1回テスト", ["第", "1", "回", "テスト"]),
+    # CJK compatibility ideographs (U+F900 block) are Han
+    ("豈更", ["豈", "更"]),
+    # Supplementary-plane Han (SIP, U+20000+) are Han singletons
+    ("\U00020000大", ["\U00020000", "大"]),
+    # Hangul is ALetter (NOT dictionary-segmented): words stay whole —
+    # guards the HANH range against swallowing U+AC00-D7AF
+    ("한국어와日本語", ["한국어와", "日", "本", "語"]),
+    # Bopomofo is ALetter in UAX#29 (not part of the CJK second pass)
+    ("ㄅㄆㄇㄈ注音", ["ㄅㄆㄇㄈ", "注", "音"]),
+    # fullwidth Latin/digits (U+FF21..) are ALetter/Numeric, not CJK
+    ("Ｆｕｌｌ１２３", ["Ｆｕｌｌ１２３"]),
 ]
 
 
@@ -255,24 +296,32 @@ def test_divergence_mark_before_joiner():
 
 def test_divergence_cjk_dictionary_segmentation():
     """ICU's UBRK_WORD runs a DICTIONARY segmenter for Han / Kana /
-    Thai (unspaced scripts): 日本語のテキストです → 日本語/の/テキスト/です,
-    中文分词很难 → 中文/分词/很难, and Thai text splits at syllable-word
-    boundaries.  The regex segmenter has no dictionary (a pure-Python
-    port of ICU's CJ dictionary is out of scope) and keeps each
-    unspaced run as ONE token — pinned; anything CJK-sensitive
-    downstream (shingling) sees runs, not dictionary words."""
-    assert segment_words("日本語のテキストです") == ["日本語のテキストです"]
-    assert segment_words("中文分词很难") == ["中文分词很难"]
-    assert segment_words("ひらがなとカタカナ") == ["ひらがなとカタカナ"]
-    assert segment_words("ภาษาไทยไม่มีช่องว่าง") == ["ภาษาไทยไม่มีช่องว่าง"]
-    # mixed-script runs stay joined too (ICU would break at the
-    # script boundary before dictionary lookup)
-    assert segment_words("日本語とEnglish混在") == ["日本語とEnglish混在"]
-    assert segment_words("321万円です") == ["321万円です"]
-    # Lao / Khmer / Burmese are unspaced dictionary scripts too
-    assert segment_words("ພາສາລາວ") == ["ພາສາລາວ"]
-    assert segment_words("ភាសាខ្មែរ") == ["ភាសាខ្មែរ"]
-    assert segment_words("မြန်မာဘာသာ") == ["မြန်မာဘာသာ"]
+    Thai (unspaced scripts): \u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u3067\u3059 \u2192 \u65e5\u672c\u8a9e/\u306e/\u30c6\u30ad\u30b9\u30c8/\u3067\u3059.
+    The second-pass segmenter implements the plain-UAX#29 defaults
+    instead (Han/Hiragana unigrams, Katakana runs \u2014 the Lucene
+    StandardTokenizer rule; positive cases in SEGMENT_CASES above), so
+    vs ICU the remaining divergence is the dictionary MERGE of adjacent
+    unigrams into words \u2014 pinned here: ICU would emit the multi-char
+    dictionary words on the left, we emit the unigram split."""
+    # ICU: [\u65e5\u672c\u8a9e, \u306e, \u30c6\u30ad\u30b9\u30c8, \u3067\u3059]
+    assert segment_words("\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u3067\u3059") == [
+        "\u65e5", "\u672c", "\u8a9e", "\u306e", "\u30c6\u30ad\u30b9\u30c8", "\u3067", "\u3059"]
+    # ICU: [\u4e2d\u6587, \u5206\u8bcd, \u5f88\u96be]
+    assert segment_words("\u4e2d\u6587\u5206\u8bcd\u5f88\u96be") == list("\u4e2d\u6587\u5206\u8bcd\u5f88\u96be")
+
+
+def test_divergence_thai_dictionary_segmentation():
+    """Thai / Lao / Khmer / Myanmar are ICU dictionary scripts too, but
+    they are NOT part of the CJK second pass: a pure-Python dictionary
+    break is out of scope, and unigram-splitting an alphabetic script
+    (unlike ideographic Han) would destroy shingling \u2014 so unspaced
+    runs stay ONE token.  Pinned divergence (ICU emits words)."""
+    assert segment_words("\u0e20\u0e32\u0e29\u0e32\u0e44\u0e17\u0e22\u0e44\u0e21\u0e48\u0e21\u0e35\u0e0a\u0e48\u0e2d\u0e07\u0e27\u0e48\u0e32\u0e07") == [
+        "\u0e20\u0e32\u0e29\u0e32\u0e44\u0e17\u0e22\u0e44\u0e21\u0e48\u0e21\u0e35\u0e0a\u0e48\u0e2d\u0e07\u0e27\u0e48\u0e32\u0e07"]
+    # Lao / Khmer / Burmese unspaced runs
+    assert segment_words("\u0e9e\u0eb2\u0eaa\u0eb2\u0ea5\u0eb2\u0ea7") == ["\u0e9e\u0eb2\u0eaa\u0eb2\u0ea5\u0eb2\u0ea7"]
+    assert segment_words("\u1797\u17b6\u179f\u17b6\u1781\u17d2\u1798\u17c2\u179a") == ["\u1797\u17b6\u179f\u17b6\u1781\u17d2\u1798\u17c2\u179a"]
+    assert segment_words("\u1019\u103c\u1014\u103a\u1019\u102c\u1018\u102c\u101e\u102c") == ["\u1019\u103c\u1014\u103a\u1019\u102c\u1018\u102c\u101e\u102c"]
 
 
 def test_divergence_persian_zwnj():
@@ -303,3 +352,36 @@ def test_multilingual_strip_diacritics():
     assert strip_diacritics("नमस्ते") == "नमसत"          # pinned
     assert strip_diacritics("ğüşıöç") == "gusioc"
     assert strip_diacritics("ḠṺṦ") == "GUS"
+
+
+# ------------------------------------------------------------------
+# Engine <-> DuckDB-oracle tokenizer lockstep: the SQL twin
+# (__ray_entry__._sql_tokens) must produce EXACTLY segment_words on
+# adversarial inputs, including the CJK second pass — this is the
+# repo invariant that keeps every token-derived oracle hash-green.
+
+LOCKSTEP_TEXTS = [
+    "don't stop 3,500.12 i.b.m. snake_case_2024",
+    "日本語のテキストです 中文分词很难",
+    "ひらがなとカタカナ ウェブ・サイト",
+    "321万円です 日本,5 a.日 ｶﾞｷﾞｸﾞ",
+    "한국어 텍스트 l’école fin:de:siècle",
+    "ภาษาไทย rock 'n' roll x''y 1..2",
+    "豈更 \U00020000a スーパーマーケット",
+    "人々 こゝろ ラーメン らーめん",
+    "العربية русский नमस्ते",
+    "第1回テスト 漢字かな交じり文",
+    "ミスターDonald’s ㌅㍿",
+    "", "・・・", "123 abc_def",
+]
+
+
+@pytest.mark.parametrize("text", LOCKSTEP_TEXTS,
+                         ids=[ascii(t)[:40] for t in LOCKSTEP_TEXTS])
+def test_engine_sql_tokenizer_lockstep(text):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as entry
+
+    got_sql = duckdb.execute(
+        f"select {entry._sql_tokens('?::VARCHAR')}", [text]).fetchone()[0]
+    assert list(got_sql) == segment_words(text)
