@@ -180,6 +180,35 @@ def run_benchmarks() -> dict:
     qsec, _ = _timed(semdedup_synth)
     queries["semdedup_synth"] = round(qsec, 3)
 
+    # ---- composed corpus pipeline (clean -> near-dup -> semantic)
+    # over the same synthetic corpus + aligned embeddings — the
+    # `--pipeline corpus` CLI dataflow, with per-stage walls
+    from nxsearch_ray.pipelines.corpus import (decisions_as_table,
+                                               run_corpus)
+    from nxsearch_ray.sources.synth import synth_corpus_embeddings_parquet
+
+    cemb_dir = synth_corpus_embeddings_parquet(corpus, seed=SYNTH_SEED)
+
+    def corpus_e2e():
+        pages = read_parquet_clean(
+            corpus, columns=["page_id", "url", "text"])
+        emb = read_parquet_clean(cemb_dir,
+                                 columns=["vec_id", "embedding"])
+        res = run_corpus(pages, cfg, embeddings_ds=emb,
+                         min_words=10, min_required_stopwords=0,
+                         semdedup_eps=0.95, semdedup_nlist=64,
+                         seed=SYNTH_SEED)
+        stage_walls["corpus_e2e"] = {
+            k: v for k, v in res.stats.items()
+            if k.startswith(("wall_", "n_")) or k.endswith("_plan")}
+        return decisions_as_table(res)
+
+    qsec, dec = _timed(corpus_e2e)
+    queries["corpus_e2e"] = round(qsec, 3)
+    tiers = dec.column("drop_tier").to_numpy()
+    stage_walls["corpus_e2e"]["n_drop_neardup"] = int((tiers == 2).sum())
+    stage_walls["corpus_e2e"]["n_drop_semantic"] = int((tiers == 3).sum())
+
     # ---- component benchmarks over the sf tables
     import __ray_entry__ as entry
 

@@ -106,6 +106,25 @@ def main(argv=None) -> int:
     p.add_argument("--config",
                    help="PipelineConfig JSON file (default config "
                         "otherwise); stored next to the checkpoints")
+    p.add_argument("--pipeline", default="dedup",
+                   choices=["dedup", "corpus"],
+                   help="'dedup' = flagship near-dup only; 'corpus' = "
+                        "composed clean -> near-dup -> semantic run "
+                        "(pipelines/corpus.py)")
+    p.add_argument("--embeddings", metavar="DIR",
+                   help="corpus pipeline: parquet of (vec_id, "
+                        "embedding) keyed by page id — enables the "
+                        "semantic tier")
+    p.add_argument("--blocklist", metavar="FILE",
+                   help="corpus pipeline: domain blocklist, one "
+                        "domain per line")
+    p.add_argument("--min-words", type=int, default=20,
+                   help="corpus pipeline: Gopher quality gate minimum")
+    p.add_argument("--min-stopwords", type=int, default=1,
+                   help="corpus pipeline: Gopher required-stopword "
+                        "minimum (0 disables)")
+    p.add_argument("--semdedup-eps", type=float, default=0.93,
+                   help="corpus pipeline: SemDeDup cosine threshold")
     p.add_argument("--verify-mode", default="auto",
                    choices=["auto", "broadcast", "bucketed"])
     p.add_argument("--cc-mode", default="auto",
@@ -150,6 +169,53 @@ def main(argv=None) -> int:
     t0 = time.monotonic()
     run_kw = dict(out_dir=args.output, verify_mode=args.verify_mode,
                   cc_mode=args.cc_mode)
+    if args.pipeline == "corpus":
+        from nxsearch_ray.pipelines.corpus import (decisions_as_table,
+                                                   run_corpus)
+
+        emb = None
+        if args.embeddings:
+            from nxsearch_ray.sources.io import read_parquet_clean
+
+            emb = read_parquet_clean(args.embeddings,
+                                     columns=["vec_id", "embedding"],
+                                     file_extensions=["parquet"])
+        blocklist: tuple = ()
+        if args.blocklist:
+            with open(args.blocklist) as f:
+                blocklist = tuple(line.strip() for line in f
+                                  if line.strip())
+        pages = _load_pages(args.input, cfg, out_dir=args.output)
+        result = run_corpus(pages, cfg, embeddings_ds=emb,
+                            blocklist=blocklist,
+                            min_words=args.min_words,
+                            min_required_stopwords=args.min_stopwords,
+                            semdedup_eps=args.semdedup_eps, **run_kw)
+        decisions = decisions_as_table(result)
+        wall = round(time.monotonic() - t0, 3)
+        tiers = decisions.column("drop_tier").to_numpy()
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+        metrics = {
+            "wall_s": wall,
+            "n_decisions": decisions.num_rows,
+            "n_kept": int((tiers == 0).sum()),
+            "n_drop_neardup": int((tiers == 2).sum()),
+            "n_drop_semantic": int((tiers == 3).sum()),
+            "config_hash": cfg.config_hash(),
+            "stats": result.stats,
+        }
+        with open(os.path.join(args.output, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=1)
+        print(json.dumps({"metric": "nxsearch_ray.run corpus",
+                          "unit": "sec", "value": wall,
+                          **{k: v for k, v in metrics.items()
+                             if k.startswith("n_")},
+                          "output": args.output}))
+        if owns_session:
+            ray.shutdown()
+        return 0
     if args.remove_ids:
         with open(args.remove_ids) as f:
             ids = [int(line) for line in f if line.strip()]

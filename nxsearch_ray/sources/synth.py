@@ -223,6 +223,54 @@ def synth_embeddings_parquet(n: int, *, dim: int = 64, seed: int = 42,
     return out_dir
 
 
+def synth_corpus_embeddings_parquet(corpus_dir: str, *,
+                                    dim: int = 64, seed: int = 42,
+                                    n_anchors: int = 256,
+                                    dup_every: int = 10,
+                                    out_dir: str | None = None,
+                                    num_files: int = 16) -> str:
+    """Write (or reuse) embeddings KEYED BY the page ids of a synth
+    corpus directory (``vec_id == page_id``), for benching the
+    composed corpus pipeline: anchor-structured vectors (same scheme
+    as synth_embeddings_parquet) with every ``dup_every``-th page an
+    exact copy of the one ``dup_every`` positions earlier (planted
+    semantic dups for the tier to find)."""
+    tag = os.path.basename(os.path.normpath(corpus_dir))
+    out_dir = out_dir or (f"/tmp/synth_corpus_emb/v1_{tag}_d{dim}"
+                          f"_s{seed}_a{n_anchors}_e{dup_every}"
+                          f"_f{num_files}")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    ids = np.sort(np.concatenate([
+        pq.read_table(os.path.join(corpus_dir, f),
+                      columns=["page_id"]).column("page_id").to_numpy()
+        for f in sorted(os.listdir(corpus_dir))
+        if f.endswith(".parquet")]))
+    n = len(ids)
+    rng = np.random.default_rng(seed)
+    anchors = rng.normal(size=(n_anchors, dim))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    mat = anchors[np.arange(n) % n_anchors] * 12.0 \
+        + rng.normal(size=(n, dim))
+    for i in range(dup_every, n, dup_every):
+        mat[i] = mat[i - dup_every]
+    mat32 = mat.astype(np.float32)
+    per = max(1, (n + num_files - 1) // num_files)
+    for f in range(0, n, per):
+        sl = slice(f, min(f + per, n))
+        t = pa.table({
+            "vec_id": pa.array(ids[sl], type=pa.int64()),
+            "embedding": pa.array(list(mat32[sl]),
+                                  type=pa.list_(pa.float32()))})
+        pq.write_table(t, os.path.join(out_dir,
+                                       f"part-{f:010d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("")
+    return out_dir
+
+
 def truth_pairs(table: pa.Table) -> set[tuple[int, int]]:
     """Gated ground-truth duplicate pairs (a<b) from a synth table."""
     import collections

@@ -198,11 +198,16 @@ def train_ivf_centroids_ref(emb_ds, nlist: int, *,
 
     @ray.remote
     def _train(*blocks):
-        t = pa.concat_tables(blocks)
-        mat = _normalize(_embedding_matrix(t, emb_col))
-        n = len(mat)
-        if n == 0:
+        # per-block extraction, not concat_tables: blocks can disagree
+        # on Arrow metadata (parquet round-trips rename the list child
+        # item->element, and filter(expr)+select_columns+limit lineages
+        # have been observed to emit the odd unprojected block)
+        mats = [_embedding_matrix(b, emb_col)
+                for b in blocks if b.num_rows]
+        if not mats:
             return np.zeros((0, 0), dtype=np.float64)
+        mat = _normalize(np.vstack(mats))
+        n = len(mat)
         k = min(nlist, n)
         rank = np.argsort(splitmix64(
             np.arange(n, dtype=np.uint64) ^ np.uint64(seed)))
