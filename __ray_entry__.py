@@ -1236,6 +1236,20 @@ def q_lm_perplexity_ngram(sf_dir: str):
     return lm_perplexity_kn(ds)
 
 
+def q_lm_perplexity_trigram(sf_dir: str):
+    """One order closer to CCNet's 5-gram KenLM: interpolated
+    Kneser-Ney TRIGRAM perplexity (stages/lmscore.py
+    lm_perplexity_kn3) — trigram census combiner -> one-task model
+    fold (Chen-Goodman continuation counts all derived from trigram
+    types, discount 0.75) -> broadcast -> stateless vectorized
+    scorer.  Twin computes the identical model in SQL."""
+    from nxsearch_ray.stages.lmscore import lm_perplexity_kn3
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return lm_perplexity_kn3(ds)
+
+
 def q_query_probe(sf_dir: str):
     """Probe-side near-dup search: query the corpus signatures with
     the first document's text — its orig + copy pages must match."""
@@ -1550,6 +1564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_clustered_verify": q_semdedup_clustered_verify,
         "lm_perplexity": q_lm_perplexity,
         "lm_perplexity_ngram": q_lm_perplexity_ngram,
+        "lm_perplexity_trigram": q_lm_perplexity_trigram,
         "dedup_cascade": q_dedup_cascade,
         "canonicalize_plain": q_canonicalize_plain,
         "image_features": q_image_features,
@@ -2009,6 +2024,46 @@ FROM (
           + 0.75 * ctx.fan1 / ctx.c1 * (cont.n1p / tot.b)) AS p
   FROM trans t JOIN big USING (w1, w2) JOIN ctx USING (w1)
   JOIN cont USING (w2) CROSS JOIN tot)
+GROUP BY doc_id
+""",
+        "lm_perplexity_trigram": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\\S+')) AS w,
+         generate_subscripts(
+             regexp_extract_all(lower(text), '\\S+'), 1) AS pos
+  FROM documents),
+tri AS (
+  SELECT doc_id,
+         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         w AS w3
+  FROM toks
+  QUALIFY w1 IS NOT NULL),
+tcen AS (SELECT w1, w2, w3, count(*)::DOUBLE AS c123
+         FROM tri GROUP BY w1, w2, w3),
+ctx AS (SELECT w1, w2, sum(c123) AS c12, count(*)::DOUBLE AS fan12
+        FROM tcen GROUP BY w1, w2),
+t2 AS (SELECT w2, w3, count(*)::DOUBLE AS n1p23
+       FROM tcen GROUP BY w2, w3),
+mid AS (SELECT w2, count(*)::DOUBLE AS n1pmid FROM tcen GROUP BY w2),
+midfan AS (SELECT w2, count(*)::DOUBLE AS fanmid FROM t2 GROUP BY w2),
+cont AS (SELECT w3, count(*)::DOUBLE AS n1p3 FROM t2 GROUP BY w3),
+tot AS (SELECT count(*)::DOUBLE AS b FROM t2)
+SELECT doc_id,
+       count(*)::BIGINT AS n_transitions,
+       avg(-ln(p)) AS logloss,
+       exp(avg(-ln(p))) AS perplexity
+FROM (
+  SELECT t.doc_id,
+         (greatest(tcen.c123 - 0.75, 0) / ctx.c12
+          + 0.75 * ctx.fan12 / ctx.c12
+            * (greatest(t2.n1p23 - 0.75, 0) / mid.n1pmid
+               + 0.75 * midfan.fanmid / mid.n1pmid
+                 * (cont.n1p3 / tot.b))) AS p
+  FROM tri t JOIN tcen USING (w1, w2, w3) JOIN ctx USING (w1, w2)
+  JOIN t2 USING (w2, w3) JOIN mid USING (w2)
+  JOIN midfan USING (w2) JOIN cont USING (w3) CROSS JOIN tot)
 GROUP BY doc_id
 """,
         "semantic_dedup": f"""

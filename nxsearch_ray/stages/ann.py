@@ -186,9 +186,16 @@ def train_ivf_centroids_ref(emb_ds, nlist: int, *,
     in ONE remote task (the driver never holds the sample).  Returns
     an ObjectRef to the (nlist, dim) L2-normalized centroid matrix.
 
-    Init picks ``nlist`` sample rows by splitmix64 rank (seeded, no
-    np.random state); Lloyd iterations assign by max cosine and
-    re-normalize the mean.  Empty clusters keep their old centroid.
+    Init is deterministic FARTHEST-POINT (greedy k-means++: first
+    center by splitmix64 rank, each next center the sample row with
+    the smallest max-cosine to the chosen set) — random-row init
+    measurably degenerates on corpora of many tight cones (one
+    centroid captures the directions no init row covered and Lloyd
+    cannot escape the local optimum; profiled as a 165k-row mega-
+    cluster, 10% of the corpus, on the semantic-dedup bench).  Lloyd
+    iterations assign by max cosine and re-normalize the mean; a
+    cluster that comes back EMPTY is reseeded to the row farthest
+    from the current centroid set instead of keeping a dead centroid.
     Scale note: ``limit(sample_cap)`` streams only the blocks needed
     for the sample — the full corpus is never materialized here."""
     import ray
@@ -211,14 +218,29 @@ def train_ivf_centroids_ref(emb_ds, nlist: int, *,
         k = min(nlist, n)
         rank = np.argsort(splitmix64(
             np.arange(n, dtype=np.uint64) ^ np.uint64(seed)))
-        cent = mat[rank[:k]].copy()
+        # greedy farthest-point init, O(n·k·dim) via a running
+        # max-cos array; ties broken by sample order (deterministic)
+        idx = np.empty(k, dtype=np.int64)
+        idx[0] = rank[0]
+        best = mat @ mat[idx[0]]
+        for j in range(1, k):
+            idx[j] = int(best.argmin())
+            np.maximum(best, mat @ mat[idx[j]], out=best)
+        cent = mat[idx].copy()
         for _ in range(iters):
-            assign = (mat @ cent.T).argmax(axis=1)
+            sim = mat @ cent.T
+            assign = sim.argmax(axis=1)
             sums = np.zeros_like(cent)
             np.add.at(sums, assign, mat)
             norms = np.linalg.norm(sums, axis=1, keepdims=True)
             moved = norms[:, 0] > 0
             cent[moved] = sums[moved] / norms[moved]
+            if not moved.all():
+                # reseed each empty cluster to the row currently
+                # farthest from its own best centroid (deterministic)
+                far = np.argsort(sim.max(axis=1), kind="stable")
+                dead = np.nonzero(~moved)[0]
+                cent[dead] = mat[far[:len(dead)]]
         return cent
 
     return _train.remote(*refs)

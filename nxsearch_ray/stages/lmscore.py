@@ -1,14 +1,14 @@
 """Language-model quality scoring (CCNet-style): unigram MLE and
-interpolated Kneser-Ney bigram perplexity.
+interpolated Kneser-Ney bigram + trigram perplexity.
 
 CCNet (Wenzek et al., "CCNet: Extracting high quality monolingual
 datasets from web crawl data", arXiv:1911.00359, public) ranks web
 documents by LM perplexity and keeps the low-perplexity head.  The
 full pipeline uses a 5-gram KenLM; a KenLM binary is library-bound in
-this container, so this stage implements two members of the family
-exactly: the corpus's own maximum-likelihood UNIGRAM model, and an
-interpolated KNESER-NEY BIGRAM model (Kneser & Ney 1995; Chen &
-Goodman 1998 — CCNet's operative filter shape).  Both are fully
+this container, so this stage implements three members of the family
+exactly: the corpus's own maximum-likelihood UNIGRAM model, and
+interpolated KNESER-NEY BIGRAM and TRIGRAM models (Kneser & Ney 1995;
+Chen & Goodman 1998 — CCNet's operative filter shape).  All are fully
 SQL-twinnable and run the identical Ray dataflow a KenLM scorer
 needs (census/model build -> broadcast -> streaming lookup); a real
 KenLM swap replaces only the per-batch lookup kernel.
@@ -325,6 +325,227 @@ class KNBigramScorer:
              pa.array(logloss[has], type=pa.float64()),
              pa.array(np.exp(logloss[has]), type=pa.float64())],
             schema=KN_SCHEMA)
+
+
+def _transitions3(batch: pa.Table, id_col: str, text_col: str):
+    """(doc_row, w1, w2, w3) for every within-doc adjacent token
+    triple — the trigram stream, positional like ``_transitions``."""
+    parents, toks = _tokens(batch, text_col)
+    tok_np = np.asarray(toks.to_pylist(), dtype=np.str_)
+    if len(tok_np) < 3:
+        e = np.empty(0, dtype=np.int64)
+        s = np.empty(0, dtype=tok_np.dtype if len(tok_np)
+                     else np.dtype("<U1"))
+        return e, s, s, s
+    m = (parents[2:] == parents[1:-1]) & (parents[1:-1] == parents[:-2])
+    return (parents[2:][m], tok_np[:-2][m], tok_np[1:-1][m],
+            tok_np[2:][m])
+
+
+def _trigram_key(w1: np.ndarray, w2: np.ndarray,
+                 w3: np.ndarray) -> np.ndarray:
+    """Collision-free combined key ``"{len(w1)}:{len(w2)}:{w1w2w3}"``
+    (same length-prefix rationale as ``_bigram_key``)."""
+    if not len(w1):
+        return w1
+    l1 = np.char.str_len(w1).astype(np.str_)
+    l2 = np.char.str_len(w2).astype(np.str_)
+    head = np.char.add(np.char.add(l1, ":"), np.char.add(l2, ":"))
+    return np.char.add(head, np.char.add(np.char.add(w1, w2), w3))
+
+
+def trigram_census(docs_ds, *, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """(w1, w2, w3, n) corpus trigram census with a per-batch
+    combiner — the groupby shuffles TRIGRAM-VOCABULARY rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, w1, w2, w3 = _transitions3(batch, id_col, text_col)
+        if not len(w1):
+            s = pa.array([], type=pa.string())
+            return pa.table({"w1": s, "w2": s, "w3": s,
+                             "n": pa.array([], type=pa.int64())})
+        key = _trigram_key(w1, w2, w3)
+        _, idx, counts = np.unique(key, return_index=True,
+                                   return_counts=True)
+        return pa.table({"w1": pa.array(w1[idx]),
+                         "w2": pa.array(w2[idx]),
+                         "w3": pa.array(w3[idx]),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    return docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2", "w3"]).sum("n")
+
+
+def kn_trigram_model_ref(census_ds, *, discount: float = 0.75,
+                         trigram_cap: int | None = None):
+    """Fold the trigram census into ONE object-store interpolated
+    Kneser-Ney TRIGRAM model (Chen & Goodman 1998 — all lower-order
+    statistics are the standard continuation counts derived from
+    higher-order n-gram TYPES, so the whole model comes out of the
+    trigram census alone):
+
+      p(w3|w1,w2) = max(c123-d,0)/c12 + d·N1+(w1w2·)/c12 · pmid
+      pmid(w3|w2) = max(N1+(·w2w3)-d,0)/N1+(·w2·)
+                    + d·N1+(w2·)/N1+(·w2·) · Pcont(w3)
+      Pcont(w3)   = N1+(·w3) / B,  B = |{(w2,w3) types}|
+
+    where c12/fan12 come from the trigram census grouped by (w1,w2),
+    N1+(·w2w3) is the census row count per (w2,w3), N1+(·w2·) the
+    row count per w2, N1+(w2·) the distinct-(w2,w3)-type count per
+    w2, and N1+(·w3) the type count per w3.  Only the trigram-count
+    table is subject to ``trigram_cap`` (top-K by count desc, key
+    asc); every derived table is vocabulary-sized and kept whole.
+    Built in one remote task; the driver never holds the census."""
+    import ray
+
+    refs = census_ds.to_arrow_refs()
+
+    @ray.remote
+    def _build(*blocks):
+        tbs = [t for t in blocks if t.num_columns]
+        s = pa.array([], type=pa.string())
+        t = pa.concat_tables(tbs) if tbs else pa.table(
+            {"w1": s, "w2": s, "w3": s,
+             "n": pa.array([], type=pa.int64())})
+        ncol = "sum(n)" if "sum(n)" in t.column_names else "n"
+        w1 = np.asarray(t.column("w1").to_pylist(), dtype=np.str_)
+        w2 = np.asarray(t.column("w2").to_pylist(), dtype=np.str_)
+        w3 = np.asarray(t.column("w3").to_pylist(), dtype=np.str_)
+        c123 = t.column(ncol).to_numpy().astype(np.float64)
+        # context table over (w1, w2): totals + fanout N1+(w1w2·)
+        ctx_keys, ctx_inv = (np.unique(_bigram_key(w1, w2),
+                                       return_inverse=True)
+                             if len(w1) else (w1, np.empty(0, np.int64)))
+        c12 = np.bincount(ctx_inv, weights=c123, minlength=len(ctx_keys))
+        fan12 = np.bincount(ctx_inv,
+                            minlength=len(ctx_keys)).astype(np.float64)
+        # (w2, w3) type table: N1+(·w2w3) = rows per (w2, w3)
+        if len(w2):
+            key23 = _bigram_key(w2, w3)
+            t2_keys, t2_first, t2_inv = np.unique(
+                key23, return_index=True, return_inverse=True)
+            n1p23 = np.bincount(t2_inv,
+                                minlength=len(t2_keys)).astype(np.float64)
+            t2_w2, t2_w3 = w2[t2_first], w3[t2_first]
+            # middle-word tables: N1+(·w2·) rows per w2 over the census,
+            # N1+(w2·) distinct (w2, w3) types per w2
+            mid_w, mid_inv = np.unique(w2, return_inverse=True)
+            n1pmid = np.bincount(mid_inv,
+                                 minlength=len(mid_w)).astype(np.float64)
+            fanmid = np.bincount(np.searchsorted(mid_w, t2_w2),
+                                 minlength=len(mid_w)).astype(np.float64)
+            cont_w = np.unique(t2_w3)
+            n1p3 = np.bincount(np.searchsorted(cont_w, t2_w3),
+                               minlength=len(cont_w)).astype(np.float64)
+            B = float(len(t2_keys))
+        else:
+            t2_keys = mid_w = cont_w = w2
+            n1p23 = n1pmid = fanmid = n1p3 = np.empty(0, np.float64)
+            B = 0.0
+        if trigram_cap is not None and len(w1) > trigram_cap:
+            keep = np.lexsort((_trigram_key(w1, w2, w3),
+                               -c123))[:trigram_cap]
+            w1, w2, w3, c123 = w1[keep], w2[keep], w3[keep], c123[keep]
+        key = _trigram_key(w1, w2, w3)
+        order = np.argsort(key)
+        return {"key": key[order], "c123": c123[order],
+                "ctx_keys": ctx_keys, "c12": c12, "fan12": fan12,
+                "t2_keys": t2_keys, "n1p23": n1p23,
+                "mid_w": mid_w, "n1pmid": n1pmid, "fanmid": fanmid,
+                "cont_w": cont_w, "n1p3": n1p3,
+                "B": B, "d": float(discount)}
+
+    return _build.remote(*refs)
+
+
+class KNTrigramScorer:
+    """Task-pool kernel for the trigram model — same shape as
+    ``KNBigramScorer``; the probability expression mirrors the SQL
+    twin term-for-term (same operation order) for float parity."""
+
+    def __init__(self, model_ref, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+        m = ray.get(model_ref) if not isinstance(model_ref, dict) \
+            else model_ref
+        self.m = m
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.m
+        ids = batch.column(self.id_col).to_numpy()
+        doc, w1, w2, w3 = _transitions3(batch, self.id_col,
+                                        self.text_col)
+        if len(w1):
+            c123 = _sorted_lookup(m["key"], m["c123"],
+                                  _trigram_key(w1, w2, w3), 0.0)
+            key12 = _bigram_key(w1, w2)
+            c12 = _sorted_lookup(m["ctx_keys"], m["c12"], key12, 0.0)
+            fan12 = _sorted_lookup(m["ctx_keys"], m["fan12"], key12,
+                                   0.0)
+            n1p23 = _sorted_lookup(m["t2_keys"], m["n1p23"],
+                                   _bigram_key(w2, w3), 0.0)
+            n1pmid = _sorted_lookup(m["mid_w"], m["n1pmid"], w2, 0.0)
+            fanmid = _sorted_lookup(m["mid_w"], m["fanmid"], w2, 0.0)
+            n1p3 = _sorted_lookup(m["cont_w"], m["n1p3"], w3, 0.0)
+            B, d = m["B"], m["d"]
+            pcont = n1p3 / B if B else np.zeros_like(n1p3)
+            mid_den = np.where(n1pmid > 0, n1pmid, 1.0)
+            pmid = np.where(
+                n1pmid > 0,
+                np.maximum(n1p23 - d, 0.0) / mid_den
+                + d * fanmid / mid_den * pcont,
+                pcont)
+            den12 = np.where(c12 > 0, c12, 1.0)
+            p = np.where(
+                c12 > 0,
+                np.maximum(c123 - d, 0.0) / den12
+                + d * fan12 / den12 * pmid,
+                pmid)
+            # self-trained uncapped models never hit this floor; a
+            # capped model can (unseen trigram after an unseen
+            # context) — add-one-style smallest mass
+            floor = 1.0 / (B + len(m["cont_w"]) + 1.0)
+            p = np.where(p > 0, p, floor)
+            neglog = -np.log(p)
+        else:
+            neglog = np.empty(0, dtype=np.float64)
+        n_tr = np.bincount(doc, minlength=batch.num_rows) \
+            .astype(np.int64)
+        sums = np.bincount(doc, weights=neglog,
+                           minlength=batch.num_rows)
+        has = n_tr > 0
+        logloss = np.divide(sums, n_tr, out=np.zeros_like(sums),
+                            where=has)
+        return pa.Table.from_arrays(
+            [pa.array(ids[has], type=pa.int64()),
+             pa.array(n_tr[has]),
+             pa.array(logloss[has], type=pa.float64()),
+             pa.array(np.exp(logloss[has]), type=pa.float64())],
+            schema=KN_SCHEMA)
+
+
+def lm_perplexity_kn3(docs_ds, *, id_col: str = "doc_id",
+                      text_col: str = "text", discount: float = 0.75,
+                      trigram_cap: int | None = None, model_ref=None,
+                      concurrency=(1, 8)):
+    """Per-document interpolated Kneser-Ney TRIGRAM perplexity — one
+    order closer to CCNet's operative 5-gram KenLM, in the identical
+    census → one-task model fold → broadcast → stateless-scorer
+    dataflow (a KenLM swap replaces only the lookup kernel).
+    Documents with fewer than 3 tokens have no trigram transitions
+    and are omitted, matching the SQL twin's joins."""
+    if model_ref is None:
+        model_ref = kn_trigram_model_ref(
+            trigram_census(docs_ds, id_col=id_col, text_col=text_col),
+            discount=discount, trigram_cap=trigram_cap)
+    return docs_ds.map_batches(
+        KNTrigramScorer, fn_constructor_args=(model_ref, id_col,
+                                              text_col),
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=concurrency, num_cpus=1)
 
 
 def lm_perplexity_kn(docs_ds, *, id_col: str = "doc_id",

@@ -210,8 +210,20 @@ def _cluster_rule(eps: float, id_col: str, emb_col: str,
                 out[ii, jj] = s64 >= eps
             return out
 
+        # similarity entries >= this float32 bound MAY be matches
+        # (everything below is decided "no" without the bool matrix)
+        cut = np.float32(eps) - np.float32(band)
+
         def rule(rows: np.ndarray) -> np.ndarray:
-            """dup_of over the sub-matrix mat[rows] (rows sorted)."""
+            """dup_of over the sub-matrix mat[rows] (rows sorted).
+
+            Post-GEMM work runs only on columns whose MAX similarity
+            clears ``eps - band``: at real thresholds almost every
+            column has no match, and the dense bool-matrix passes
+            (>=, any, argmax — all memory-bound) were measured to
+            dominate the GEMM itself on the 1.6M-vector bench.  One
+            column-max pass decides "no match" per column; the full
+            machinery touches only the few candidate columns."""
             rids = ids[rows]
             rmat = mat[rows]
             k = len(rows)
@@ -220,23 +232,31 @@ def _cluster_rule(eps: float, id_col: str, emb_col: str,
                 e = min(s + row_block, k)
                 blk = rmat[s:e]
                 m = e - s
+                any_top = np.zeros(m, dtype=bool)
                 if s:
-                    hit = ge_eps(rmat[:s] @ blk.T,        # (s, m)
-                                 rows[:s], rows[s:e])
-                    any_top = hit.any(axis=0)
-                    first = hit.argmax(axis=0)    # first True = min
-                    dup[s:e][any_top] = rids[first[any_top]]
-                else:
-                    any_top = np.zeros(m, dtype=bool)
+                    s32 = rmat[:s] @ blk.T                # (s, m)
+                    cand = np.nonzero(s32.max(axis=0) >= cut)[0]
+                    if len(cand):
+                        hit = ge_eps(s32[:, cand], rows[:s],
+                                     rows[s:e][cand])
+                        any_c = hit.any(axis=0)
+                        first = hit.argmax(axis=0)  # first True = min
+                        any_top[cand[any_c]] = True
+                        dup[s + cand[any_c]] = rids[first[any_c]]
                 need = np.nonzero(~any_top)[0]    # block offsets
                 if len(need):
-                    d = ge_eps(blk @ blk[need].T,         # (m, |need|)
-                               rows[s:e], rows[s:e][need])
+                    d32 = blk @ blk[need].T               # (m, |need|)
                     # row i eligible for column j iff i < need[j]
-                    d[np.arange(m)[:, None] >= need[None, :]] = False
-                    any_d = d.any(axis=0)
-                    firstd = d.argmax(axis=0)
-                    dup[s + need[any_d]] = rids[s + firstd[any_d]]
+                    elig = np.arange(m)[:, None] < need[None, :]
+                    d32 = np.where(elig, d32, np.float32(-2.0))
+                    candd = np.nonzero(d32.max(axis=0) >= cut)[0]
+                    if len(candd):
+                        dd = ge_eps(d32[:, candd], rows[s:e],
+                                    rows[s:e][need[candd]])
+                        any_d = dd.any(axis=0)
+                        firstd = dd.argmax(axis=0)
+                        dup[s + need[candd[any_d]]] = \
+                            rids[s + firstd[any_d]]
             return dup
 
         # Collapse byte-identical rows before the quadratic rule —
@@ -279,18 +299,28 @@ def _cluster_rule(eps: float, id_col: str, emb_col: str,
 
 
 def _cluster_census(assigned) -> dict[int, int]:
-    """{cluster: rows} from a groupby count — ``nlist`` rows, bounded
-    by construction, fetched as arrow refs (never a full-dataset
-    driver materialization)."""
+    """{cluster: rows} from per-block ``value_counts`` partials — a
+    native ``groupby().count()`` would SORT-SHUFFLE the whole table,
+    embeddings included (profiled at 4 s per census on the 1.6M
+    bench; the label column is 1/70th of the bytes).  Each fetched
+    partial is bounded by the live cluster count, so the driver
+    combines at most ``n_blocks × n_clusters`` tiny rows."""
+    import pyarrow.compute as pc
     import ray
 
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("cluster"))
+        return pa.table({"cluster": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
     tabs = [t for t in ray.get(
-        assigned.groupby("cluster").count().to_arrow_refs())
-        if t.num_rows]
+        assigned.map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
     out: dict[int, int] = {}
     for t in tabs:
-        out.update(zip(t.column("cluster").to_pylist(),
-                       t.column("count()").to_pylist()))
+        for c, n in zip(t.column("cluster").to_pylist(),
+                        t.column("n").to_pylist()):
+            out[c] = out.get(c, 0) + n
     return out
 
 
@@ -335,22 +365,42 @@ def semantic_dedup_clustered(emb_ds, *, eps: float = 0.4,
     assigned = emb_ds.map_batches(assign, batch_format="pyarrow")
 
     if hot_cap_factor:
-        sizes = _cluster_census(assigned)
-        mean = sum(sizes.values()) / max(len(sizes), 1)
-        hot = {c: s for c, s in sizes.items()
-               if s > hot_cap_factor * mean and s > 1}
-        if hot:
+        # RECURSIVE re-split: one sub-k-means round can leave a still-
+        # hot subgroup (a bad local optimum before the farthest-point
+        # init fix, or simply a very large cone), so census -> split
+        # repeats until no hot group remains, the round made no
+        # progress (a point mass of identical vectors, which k-means
+        # cannot split and the identical-row collapse in _cluster_rule
+        # handles for free), or the round cap is hit.  Each census /
+        # resplit is a streaming corpus pass — rounds beyond the first
+        # only happen when the previous one actually shrank the max.
+        prev_max = None
+        for _round in range(3):
+            sizes = _cluster_census(assigned)
+            mean = sum(sizes.values()) / max(len(sizes), 1)
+            hot = {c: s for c, s in sizes.items()
+                   if s > hot_cap_factor * mean and s > 1}
+            if not hot:
+                break
+            cur_max = max(hot.values())
+            # require MEANINGFUL progress: a point mass of identical
+            # vectors sheds only its few genuine cone-mates per round
+            # (165617 -> 160022 profiled) — k-means can never split
+            # it, and the identical-row collapse scores it in O(n)
+            if prev_max is not None and cur_max >= 0.9 * prev_max:
+                break
+            prev_max = cur_max
             # one corpus pass pins ONLY the hot clusters' rows (the
             # hot fraction of the corpus, object-store resident); the
             # per-cluster training filters then scan that subset
             # instead of re-running read+assign once per hot cluster
             hot_keys = pa.array(np.array(sorted(hot), dtype=np.int64))
 
-            def only_hot(t: pa.Table) -> pa.Table:
+            def only_hot(t: pa.Table, keys=hot_keys) -> pa.Table:
                 import pyarrow.compute as pc
 
                 return t.filter(pc.is_in(t.column("cluster"),
-                                         value_set=hot_keys))
+                                         value_set=keys))
 
             hot_ds = assigned.map_batches(
                 only_hot, batch_format="pyarrow").materialize()
@@ -358,7 +408,7 @@ def semantic_dedup_clustered(emb_ds, *, eps: float = 0.4,
                 c: train_ivf_centroids_ref(
                     hot_ds.filter(expr=f"cluster == {c}"),
                     int(np.ceil(s / mean)), emb_col=emb_col,
-                    seed=seed + 1000003 * (c + 1),
+                    seed=seed + 1000003 * (c + 1) + 7919 * _round,
                     sample_cap=sub_sample_cap)
                 for c, s in hot.items()}
             subc = {c: np.ascontiguousarray(ray.get(r),
@@ -368,7 +418,8 @@ def semantic_dedup_clustered(emb_ds, *, eps: float = 0.4,
             # (sub_idx 0 for cold clusters), stride fixed by the census
             stride = 1 + max(len(m) for m in subc.values())
 
-            def resplit(batch: pa.Table) -> pa.Table:
+            def resplit(batch: pa.Table, subc=subc,
+                        stride=stride) -> pa.Table:
                 cl = batch.column("cluster").to_numpy() * stride
                 mat = None
                 for c, cm in subc.items():

@@ -217,3 +217,123 @@ def test_kn_separator_byte_in_token(ray_session):
     want = _kn_oracle(docs)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+# ---------------- Kneser-Ney trigram tier ---------------------------
+
+def _kn3_oracle(docs, d=0.75):
+    """Python restatement of interpolated KN trigram with
+    Chen-Goodman continuation counts, all derived from the trigram
+    census: p = max(c123-d,0)/c12 + d*fan12/c12 * pmid,
+    pmid = max(N1+(.w2w3)-d,0)/N1+(.w2.) + d*N1+(w2.)/N1+(.w2.)
+           * (N1+(.w3)/B)."""
+    from collections import Counter
+    trans = []
+    for doc_id, text in docs:
+        toks = _re2_tokens(text)
+        trans += [(doc_id, a, b, c)
+                  for a, b, c in zip(toks, toks[1:], toks[2:])]
+    tri = Counter((a, b, c) for _, a, b, c in trans)
+    c12, fan12 = Counter(), Counter()
+    t2 = set()
+    n1p23, n1pmid = Counter(), Counter()
+    for (a, b, c), n in tri.items():
+        c12[(a, b)] += n
+        fan12[(a, b)] += 1
+        t2.add((b, c))
+        n1p23[(b, c)] += 1
+        n1pmid[b] += 1
+    fanmid, n1p3 = Counter(), Counter()
+    for (b, c) in t2:
+        fanmid[b] += 1
+        n1p3[c] += 1
+    B = len(t2)
+    out = {}
+    for doc_id, a, b, c in trans:
+        pcont = n1p3[c] / B
+        pmid = (max(n1p23[(b, c)] - d, 0.0) / n1pmid[b]
+                + d * fanmid[b] / n1pmid[b] * pcont)
+        p = (max(tri[(a, b, c)] - d, 0.0) / c12[(a, b)]
+             + d * fan12[(a, b)] / c12[(a, b)] * pmid)
+        out.setdefault(doc_id, []).append(-math.log(p))
+    return {k: sum(v) / len(v) for k, v in out.items()}
+
+
+def _score_kn3(ds, **kw):
+    import ray
+    from nxsearch_ray.stages.lmscore import lm_perplexity_kn3
+    tbs = [t for t in ray.get(lm_perplexity_kn3(ds, **kw)
+                              .to_arrow_refs()) if t.num_columns]
+    tb = pa.concat_tables(tbs)
+    return dict(zip(tb.column("doc_id").to_pylist(),
+                    tb.column("logloss").to_pylist()))
+
+
+def test_kn3_matches_python_oracle(ray_session):
+    got = _score_kn3(_ds())
+    want = _kn3_oracle(DOCS)
+    assert set(got) == set(want)
+    assert 3 not in got                   # empty doc omitted
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_kn3_short_docs_omitted(ray_session):
+    """Docs with < 3 tokens have no trigram transitions."""
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["one", "two words", "now three words"])}))
+    got = _score_kn3(ds)
+    assert set(got) == {2}
+
+
+def test_kn3_trigram_cap_backoff(ray_session):
+    """A capped trigram table routes missed lookups through the
+    pure-backoff term (c123 = 0) — never crashes, never emits
+    p <= 0, and probabilities can only shrink."""
+    got = _score_kn3(_ds(), trigram_cap=2)
+    full = _score_kn3(_ds())
+    assert set(got) == set(full)
+    for k in got:
+        assert got[k] >= full[k] - 1e-12
+        assert math.isfinite(got[k])
+
+
+def test_kn3_separator_byte_in_token(ray_session):
+    """Length-prefixed trigram keys must not merge distinct triples
+    whose concatenations collide."""
+    import ray.data as rd
+    docs = [(0, "ab c d x a bc d"), (1, "a\x1fb c d a b\x1fc d")]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+        "text": pa.array([t for _, t in docs])}))
+    got = _score_kn3(ds)
+    want = _kn3_oracle(docs)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_kn3_cross_corpus_model_reuse(ray_session):
+    """Score new docs against a prebuilt trigram model (the CCNet
+    deployment shape) — unseen contexts back off, p stays > 0."""
+    import ray
+    import ray.data as rd
+    from nxsearch_ray.stages.lmscore import (kn_trigram_model_ref,
+                                             trigram_census)
+    model = kn_trigram_model_ref(trigram_census(_ds()))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], type=pa.int64()),
+        "text": pa.array(["the cat sat on the mat",
+                          "qqq www eee rrr"])}))
+    got = {}
+    for t in ray.get(__import__(
+            "nxsearch_ray.stages.lmscore",
+            fromlist=["lm_perplexity_kn3"]).lm_perplexity_kn3(
+                new, model_ref=model).to_arrow_refs()):
+        if t.num_columns:
+            got.update(zip(t.column("doc_id").to_pylist(),
+                           t.column("logloss").to_pylist()))
+    want = _kn3_oracle(DOCS)
+    assert got[100] == pytest.approx(want[0], rel=1e-12)
+    assert math.isfinite(got[101]) and got[101] > 0
