@@ -219,7 +219,8 @@ def run_benchmarks() -> dict:
                  "ann_topk_ivf", "bm25_topk", "topk_events",
                  "pii_scrub", "decontaminate", "gopher_quality",
                  "url_blocklist", "web_clean", "lm_perplexity",
-                 "semantic_dedup", "dedup_cascade"):
+                 "lm_perplexity_trigram", "semantic_dedup",
+                 "dedup_cascade"):
         def runq(name=name):
             out = qs[name](SF_DIR)
             if hasattr(out, "materialize"):
