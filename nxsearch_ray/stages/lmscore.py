@@ -175,11 +175,18 @@ def _bigram_key(w1: np.ndarray, w2: np.ndarray) -> np.ndarray:
     """Collision-free combined key ``"{len(w1)}:{w1}{w2}"``: a \\S+
     token can contain ANY non-whitespace byte (separator chars
     included), so a separator-joined key could merge distinct pairs;
-    the length prefix disambiguates unconditionally."""
+    the length prefix disambiguates unconditionally.
+
+    Built with Arrow kernels — an ``np.char.add`` chain costs ~1 s
+    per 260k strings (per-element PyUnicode concat) vs ~0.1 s for
+    ``binary_join_element_wise``; ``utf8_length`` counts codepoints,
+    matching Python ``len`` on the numpy unicode tokens."""
     if not len(w1):
         return w1
-    l1 = np.char.str_len(w1).astype(np.str_)
-    return np.char.add(np.char.add(l1, ":"), np.char.add(w1, w2))
+    a1, a2 = pa.array(w1), pa.array(w2)
+    l1 = pc.cast(pc.utf8_length(a1), pa.string())
+    key = pc.binary_join_element_wise(l1, ":", a1, a2, "")
+    return np.asarray(key.to_pylist(), dtype=np.str_)
 
 
 def bigram_census(docs_ds, *, id_col: str = "doc_id",
@@ -345,13 +352,16 @@ def _transitions3(batch: pa.Table, id_col: str, text_col: str):
 def _trigram_key(w1: np.ndarray, w2: np.ndarray,
                  w3: np.ndarray) -> np.ndarray:
     """Collision-free combined key ``"{len(w1)}:{len(w2)}:{w1w2w3}"``
-    (same length-prefix rationale as ``_bigram_key``)."""
+    (same length-prefix rationale and Arrow-kernel construction as
+    ``_bigram_key``)."""
     if not len(w1):
         return w1
-    l1 = np.char.str_len(w1).astype(np.str_)
-    l2 = np.char.str_len(w2).astype(np.str_)
-    head = np.char.add(np.char.add(l1, ":"), np.char.add(l2, ":"))
-    return np.char.add(head, np.char.add(np.char.add(w1, w2), w3))
+    a1, a2, a3 = pa.array(w1), pa.array(w2), pa.array(w3)
+    l1 = pc.cast(pc.utf8_length(a1), pa.string())
+    l2 = pc.cast(pc.utf8_length(a2), pa.string())
+    key = pc.binary_join_element_wise(l1, ":", l2, ":", a1, a2, a3,
+                                      "")
+    return np.asarray(key.to_pylist(), dtype=np.str_)
 
 
 def trigram_census(docs_ds, *, id_col: str = "doc_id",

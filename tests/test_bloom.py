@@ -104,3 +104,70 @@ def test_url_seen_guard_query(ray_session):
     seen = tb.column("seen_exact").to_numpy(zero_copy_only=False)
     assert nfn.all()
     assert 0 < seen.sum() < len(seen)
+
+
+def test_sharded_sound_and_comparable_fp(ray_session):
+    """The sharded filter keeps the soundness guarantee (no false
+    negatives — every member probes True through the shard route)
+    and, at the same total bits-per-key, its FP rate on non-members
+    stays within the single-filter theory band.  Exact verdict
+    equality with the single filter does NOT hold (positions are
+    taken mod a different m), so it is not asserted."""
+    import math
+
+    import ray.data as rd
+
+    from nxsearch_ray.stages.bloom import (bloom_build_sharded,
+                                           bloom_seen_sharded)
+
+    members = _strings(3000, "in")
+    prior = rd.from_arrow(pa.table({"url": pa.array(members)})) \
+        .repartition(9)
+    shards = 8
+    per_shard = M_BITS // shards
+    sharded = bloom_build_sharded(prior, "url", shards=shards,
+                                  m_bits_per_shard=per_shard, k=K)
+
+    def flags(vals):
+        ds = rd.from_arrow(pa.table({"url": pa.array(vals)})) \
+            .repartition(5)
+        t = pa.concat_tables([b for b in bloom_seen_sharded(
+            ds, sharded, "url", m_bits_per_shard=per_shard,
+            k=K).iter_batches(batch_format="pyarrow")]).sort_by("url")
+        return t.column("seen_bloom").to_numpy(zero_copy_only=False)
+
+    assert flags(members).all()            # soundness through shards
+    fp = flags(_strings(20000, "out")).mean()
+    theory = (1 - math.exp(-K * len(members) / M_BITS)) ** K
+    assert fp <= max(5 * theory, 0.01), (fp, theory)
+
+
+def test_sharded_single_block_and_empty(ray_session):
+    """One-block builds normalize the empty-shard sentinel; empty
+    datasets yield all-zero shards that probe False."""
+    import ray
+    import ray.data as rd
+
+    from nxsearch_ray.stages.bloom import (bloom_build_sharded,
+                                           bloom_seen_sharded)
+
+    one = rd.from_arrow(pa.table({"url": pa.array(["solo-key"])}))
+    refs = bloom_build_sharded(one, "url", shards=4,
+                               m_bits_per_shard=1 << 10, k=3)
+    ws = ray.get(refs)
+    assert all(len(w) == (1 << 10) // 64 for w in ws)
+    probe = rd.from_arrow(pa.table(
+        {"url": pa.array(["solo-key", "missing"])}))
+    t = pa.concat_tables([b for b in bloom_seen_sharded(
+        probe, refs, "url", m_bits_per_shard=1 << 10,
+        k=3).iter_batches(batch_format="pyarrow")]).sort_by("url")
+    flags = dict(zip(t.column("url").to_pylist(),
+                     t.column("seen_bloom").to_pylist()))
+    assert flags["solo-key"] is True
+
+    empty = rd.from_arrow(pa.table(
+        {"url": pa.array([], type=pa.string())}))
+    erefs = bloom_build_sharded(empty, "url", shards=4,
+                                m_bits_per_shard=1 << 10, k=3)
+    ews = ray.get(erefs)
+    assert all(not w.any() for w in ews)
