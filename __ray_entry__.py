@@ -1333,6 +1333,19 @@ def q_url_seen_guard(sf_dir: str):
                      num_cpus=1)
 
 
+def q_lm_perplexity_quadgram(sf_dir: str):
+    """One order below CCNet's operative 5-gram KenLM: interpolated
+    Kneser-Ney 4-GRAM perplexity (stages/lmscore.py
+    lm_perplexity_kn4), every lower order's continuation counts
+    derived from the next order's types — same census -> fold ->
+    broadcast -> score dataflow as the bigram/trigram members."""
+    from nxsearch_ray.stages.lmscore import lm_perplexity_kn4
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return lm_perplexity_kn4(ds)
+
+
 def q_url_cardinality(sf_dir: str):
     """HyperLogLog distinct-count sketch (stages/hll.py): distinct
     base urls estimated in ONE shuffle-free streaming pass (per-block
@@ -1697,6 +1710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # placing it 51st keeps every previously-green query graded)
         "url_seen_guard": q_url_seen_guard,
         "url_cardinality": q_url_cardinality,
+        "lm_perplexity_quadgram": q_lm_perplexity_quadgram,
         # ---- rows-only (no_oracle) queries, pytest/invariant-gated --
         "semantic_dedup_clustered": q_semantic_dedup_clustered,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -2154,6 +2168,58 @@ SELECT page_id,
        key IN (SELECT url FROM prior) AS seen_exact,
        true AS no_false_negative
 FROM probe
+""",
+        "lm_perplexity_quadgram": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\\S+')) AS w,
+         generate_subscripts(
+             regexp_extract_all(lower(text), '\\S+'), 1) AS pos
+  FROM documents),
+quad AS (
+  SELECT doc_id,
+         lag(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
+         w AS w4
+  FROM toks
+  QUALIFY w1 IS NOT NULL),
+qcen AS (SELECT w1, w2, w3, w4, count(*)::DOUBLE AS c1234
+         FROM quad GROUP BY w1, w2, w3, w4),
+ctx AS (SELECT w1, w2, w3, sum(c1234) AS c123,
+               count(*)::DOUBLE AS fan123
+        FROM qcen GROUP BY w1, w2, w3),
+t3 AS (SELECT w2, w3, w4, count(*)::DOUBLE AS n1p234
+       FROM qcen GROUP BY w2, w3, w4),
+m23 AS (SELECT w2, w3, count(*)::DOUBLE AS n1pm23
+        FROM qcen GROUP BY w2, w3),
+m23fan AS (SELECT w2, w3, count(*)::DOUBLE AS fanm23
+           FROM t3 GROUP BY w2, w3),
+t2 AS (SELECT w3, w4, count(*)::DOUBLE AS n1p34
+       FROM t3 GROUP BY w3, w4),
+m3 AS (SELECT w3, count(*)::DOUBLE AS n1pm3 FROM t3 GROUP BY w3),
+m3fan AS (SELECT w3, count(*)::DOUBLE AS fanm3 FROM t2 GROUP BY w3),
+cont AS (SELECT w4, count(*)::DOUBLE AS n1p4 FROM t2 GROUP BY w4),
+tot AS (SELECT count(*)::DOUBLE AS b FROM t2)
+SELECT doc_id,
+       count(*)::BIGINT AS n_transitions,
+       avg(-ln(p)) AS logloss,
+       exp(avg(-ln(p))) AS perplexity
+FROM (
+  SELECT q.doc_id,
+         (greatest(qcen.c1234 - 0.75, 0) / ctx.c123
+          + 0.75 * ctx.fan123 / ctx.c123
+            * (greatest(t3.n1p234 - 0.75, 0) / m23.n1pm23
+               + 0.75 * m23fan.fanm23 / m23.n1pm23
+                 * (greatest(t2.n1p34 - 0.75, 0) / m3.n1pm3
+                    + 0.75 * m3fan.fanm3 / m3.n1pm3
+                      * (cont.n1p4 / tot.b)))) AS p
+  FROM quad q JOIN qcen USING (w1, w2, w3, w4)
+  JOIN ctx USING (w1, w2, w3) JOIN t3 USING (w2, w3, w4)
+  JOIN m23 USING (w2, w3) JOIN m23fan USING (w2, w3)
+  JOIN t2 USING (w3, w4) JOIN m3 USING (w3) JOIN m3fan USING (w3)
+  JOIN cont USING (w4) CROSS JOIN tot)
+GROUP BY doc_id
 """,
         "url_cardinality": f"""
 WITH {PAGES_CTE}

@@ -558,6 +558,257 @@ def lm_perplexity_kn3(docs_ds, *, id_col: str = "doc_id",
         concurrency=concurrency, num_cpus=1)
 
 
+def _transitions4(batch: pa.Table, id_col: str, text_col: str):
+    """(doc_row, w1, w2, w3, w4) for every within-doc adjacent token
+    quadruple — the 4-gram stream."""
+    parents, toks = _tokens(batch, text_col)
+    tok_np = np.asarray(toks.to_pylist(), dtype=np.str_)
+    if len(tok_np) < 4:
+        e = np.empty(0, dtype=np.int64)
+        s = np.empty(0, dtype=tok_np.dtype if len(tok_np)
+                     else np.dtype("<U1"))
+        return e, s, s, s, s
+    m = ((parents[3:] == parents[2:-1])
+         & (parents[2:-1] == parents[1:-2])
+         & (parents[1:-2] == parents[:-3]))
+    return (parents[3:][m], tok_np[:-3][m], tok_np[1:-2][m],
+            tok_np[2:-1][m], tok_np[3:][m])
+
+
+def _ngram_key(*ws: np.ndarray) -> np.ndarray:
+    """Collision-free combined key for any n-gram:
+    ``"{len(w1)}:...:{len(w_{n-1})}:{w1...wn}"`` — Arrow-kernel
+    construction like ``_bigram_key``."""
+    if not len(ws[0]):
+        return ws[0]
+    arrs = [pa.array(w) for w in ws]
+    parts: list = []
+    for a in arrs[:-1]:
+        parts += [pc.cast(pc.utf8_length(a), pa.string()), ":"]
+    key = pc.binary_join_element_wise(*parts, *arrs, "")
+    return np.asarray(key.to_pylist(), dtype=np.str_)
+
+
+def quadgram_census(docs_ds, *, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """(w1..w4, n) corpus 4-gram census with a per-batch combiner."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, w1, w2, w3, w4 = _transitions4(batch, id_col, text_col)
+        if not len(w1):
+            s = pa.array([], type=pa.string())
+            return pa.table({"w1": s, "w2": s, "w3": s, "w4": s,
+                             "n": pa.array([], type=pa.int64())})
+        key = _ngram_key(w1, w2, w3, w4)
+        _, idx, counts = np.unique(key, return_index=True,
+                                   return_counts=True)
+        return pa.table({"w1": pa.array(w1[idx]),
+                         "w2": pa.array(w2[idx]),
+                         "w3": pa.array(w3[idx]),
+                         "w4": pa.array(w4[idx]),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    return docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2", "w3", "w4"]).sum("n")
+
+
+def kn_quadgram_model_ref(census_ds, *, discount: float = 0.75,
+                          quadgram_cap: int | None = None):
+    """Fold the 4-gram census into ONE interpolated Kneser-Ney
+    4-GRAM model (Chen & Goodman 1998 continuation counts, every
+    lower order derived from the next order's TYPES — the whole
+    model comes out of the 4-gram census alone):
+
+      p4(w4|w1w2w3) = max(c1234-d,0)/c123 + d·N1+(w1w2w3·)/c123 · p3
+      p3(w4|w2w3)   = max(N1+(·w2w3w4)-d,0)/N1+(·w2w3·)
+                      + d·N1+(w2w3·)/N1+(·w2w3·) · p2
+      p2(w4|w3)     = max(N1+(··w3w4)-d,0)/N1+(··w3·)
+                      + d·N1+(w3·)/N1+(··w3·) · Pcont(w4)
+      Pcont(w4)     = N1+(·w4) / B,  B = |{(w3,w4) types}|
+
+    Only the 4-gram count table is subject to ``quadgram_cap``; the
+    derived tables are vocabulary-sized and kept whole."""
+    import ray
+
+    refs = census_ds.to_arrow_refs()
+
+    @ray.remote
+    def _build(*blocks):
+        tbs = [t for t in blocks if t.num_columns]
+        s = pa.array([], type=pa.string())
+        t = pa.concat_tables(tbs) if tbs else pa.table(
+            {"w1": s, "w2": s, "w3": s, "w4": s,
+             "n": pa.array([], type=pa.int64())})
+        ncol = "sum(n)" if "sum(n)" in t.column_names else "n"
+        w1 = np.asarray(t.column("w1").to_pylist(), dtype=np.str_)
+        w2 = np.asarray(t.column("w2").to_pylist(), dtype=np.str_)
+        w3 = np.asarray(t.column("w3").to_pylist(), dtype=np.str_)
+        w4 = np.asarray(t.column("w4").to_pylist(), dtype=np.str_)
+        c1234 = t.column(ncol).to_numpy().astype(np.float64)
+        if not len(w1):
+            z = np.empty(0, np.float64)
+            return {"key": w1, "c1234": z, "ctx_keys": w1, "c123": z,
+                    "fan123": z, "t3_keys": w1, "n1p234": z,
+                    "m23_keys": w1, "n1pm23": z, "fanm23": z,
+                    "t2_keys": w1, "n1p34": z, "m3_w": w1,
+                    "n1pm3": z, "fanm3": z, "cont_w": w1, "n1p4": z,
+                    "B": 0.0, "d": float(discount)}
+        # level-4 context table over (w1, w2, w3)
+        ctx_keys, ctx_inv = np.unique(_ngram_key(w1, w2, w3),
+                                      return_inverse=True)
+        c123 = np.bincount(ctx_inv, weights=c1234,
+                           minlength=len(ctx_keys))
+        fan123 = np.bincount(ctx_inv,
+                             minlength=len(ctx_keys)).astype(np.float64)
+        # T3 = distinct (w2, w3, w4) types; N1+(·w2w3w4)
+        k234 = _ngram_key(w2, w3, w4)
+        t3_keys, t3_first, t3_inv = np.unique(
+            k234, return_index=True, return_inverse=True)
+        n1p234 = np.bincount(t3_inv,
+                             minlength=len(t3_keys)).astype(np.float64)
+        t3_w2, t3_w3, t3_w4 = w2[t3_first], w3[t3_first], w4[t3_first]
+        # middle tables over (w2, w3): rows of census / rows of T3
+        m23_keys, m23_inv = np.unique(_ngram_key(w2, w3),
+                                      return_inverse=True)
+        n1pm23 = np.bincount(m23_inv,
+                             minlength=len(m23_keys)).astype(np.float64)
+        fanm23 = np.bincount(
+            np.searchsorted(m23_keys, _ngram_key(t3_w2, t3_w3)),
+            minlength=len(m23_keys)).astype(np.float64)
+        # T2 = distinct (w3, w4) from T3; N1+(··w3w4)
+        k34 = _ngram_key(t3_w3, t3_w4)
+        t2_keys, t2_first, t2_inv = np.unique(
+            k34, return_index=True, return_inverse=True)
+        n1p34 = np.bincount(t2_inv,
+                            minlength=len(t2_keys)).astype(np.float64)
+        t2_w3, t2_w4 = t3_w3[t2_first], t3_w4[t2_first]
+        # middle tables over w3: rows of T3 / rows of T2
+        m3_w, m3_inv = np.unique(t3_w3, return_inverse=True)
+        n1pm3 = np.bincount(m3_inv,
+                            minlength=len(m3_w)).astype(np.float64)
+        fanm3 = np.bincount(np.searchsorted(m3_w, t2_w3),
+                            minlength=len(m3_w)).astype(np.float64)
+        cont_w = np.unique(t2_w4)
+        n1p4 = np.bincount(np.searchsorted(cont_w, t2_w4),
+                           minlength=len(cont_w)).astype(np.float64)
+        B = float(len(t2_keys))
+        if quadgram_cap is not None and len(w1) > quadgram_cap:
+            keep = np.lexsort((_ngram_key(w1, w2, w3, w4),
+                               -c1234))[:quadgram_cap]
+            w1, w2, w3, w4 = w1[keep], w2[keep], w3[keep], w4[keep]
+            c1234 = c1234[keep]
+        key = _ngram_key(w1, w2, w3, w4)
+        order = np.argsort(key)
+        return {"key": key[order], "c1234": c1234[order],
+                "ctx_keys": ctx_keys, "c123": c123, "fan123": fan123,
+                "t3_keys": t3_keys, "n1p234": n1p234,
+                "m23_keys": m23_keys, "n1pm23": n1pm23,
+                "fanm23": fanm23,
+                "t2_keys": t2_keys, "n1p34": n1p34,
+                "m3_w": m3_w, "n1pm3": n1pm3, "fanm3": fanm3,
+                "cont_w": cont_w, "n1p4": n1p4,
+                "B": B, "d": float(discount)}
+
+    return _build.remote(*refs)
+
+
+class KNQuadgramScorer:
+    """Task-pool kernel for the 4-gram model; the probability
+    expression mirrors the SQL twin term-for-term."""
+
+    def __init__(self, model_ref, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+        m = ray.get(model_ref) if not isinstance(model_ref, dict) \
+            else model_ref
+        self.m = m
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.m
+        ids = batch.column(self.id_col).to_numpy()
+        doc, w1, w2, w3, w4 = _transitions4(batch, self.id_col,
+                                            self.text_col)
+        if len(w1):
+            c1234 = _sorted_lookup(m["key"], m["c1234"],
+                                   _ngram_key(w1, w2, w3, w4), 0.0)
+            k123 = _ngram_key(w1, w2, w3)
+            c123 = _sorted_lookup(m["ctx_keys"], m["c123"], k123, 0.0)
+            fan123 = _sorted_lookup(m["ctx_keys"], m["fan123"], k123,
+                                    0.0)
+            n1p234 = _sorted_lookup(m["t3_keys"], m["n1p234"],
+                                    _ngram_key(w2, w3, w4), 0.0)
+            k23 = _ngram_key(w2, w3)
+            n1pm23 = _sorted_lookup(m["m23_keys"], m["n1pm23"], k23,
+                                    0.0)
+            fanm23 = _sorted_lookup(m["m23_keys"], m["fanm23"], k23,
+                                    0.0)
+            n1p34 = _sorted_lookup(m["t2_keys"], m["n1p34"],
+                                   _ngram_key(w3, w4), 0.0)
+            n1pm3 = _sorted_lookup(m["m3_w"], m["n1pm3"], w3, 0.0)
+            fanm3 = _sorted_lookup(m["m3_w"], m["fanm3"], w3, 0.0)
+            n1p4 = _sorted_lookup(m["cont_w"], m["n1p4"], w4, 0.0)
+            B, d = m["B"], m["d"]
+            pcont = n1p4 / B if B else np.zeros_like(n1p4)
+            den3 = np.where(n1pm3 > 0, n1pm3, 1.0)
+            p2 = np.where(
+                n1pm3 > 0,
+                np.maximum(n1p34 - d, 0.0) / den3
+                + d * fanm3 / den3 * pcont,
+                pcont)
+            den23 = np.where(n1pm23 > 0, n1pm23, 1.0)
+            p3 = np.where(
+                n1pm23 > 0,
+                np.maximum(n1p234 - d, 0.0) / den23
+                + d * fanm23 / den23 * p2,
+                p2)
+            den123 = np.where(c123 > 0, c123, 1.0)
+            p = np.where(
+                c123 > 0,
+                np.maximum(c1234 - d, 0.0) / den123
+                + d * fan123 / den123 * p3,
+                p3)
+            floor = 1.0 / (B + len(m["cont_w"]) + 1.0)
+            p = np.where(p > 0, p, floor)
+            neglog = -np.log(p)
+        else:
+            neglog = np.empty(0, dtype=np.float64)
+        n_tr = np.bincount(doc, minlength=batch.num_rows) \
+            .astype(np.int64)
+        sums = np.bincount(doc, weights=neglog,
+                           minlength=batch.num_rows)
+        has = n_tr > 0
+        logloss = np.divide(sums, n_tr, out=np.zeros_like(sums),
+                            where=has)
+        return pa.Table.from_arrays(
+            [pa.array(ids[has], type=pa.int64()),
+             pa.array(n_tr[has]),
+             pa.array(logloss[has], type=pa.float64()),
+             pa.array(np.exp(logloss[has]), type=pa.float64())],
+            schema=KN_SCHEMA)
+
+
+def lm_perplexity_kn4(docs_ds, *, id_col: str = "doc_id",
+                      text_col: str = "text", discount: float = 0.75,
+                      quadgram_cap: int | None = None, model_ref=None,
+                      concurrency=(1, 8)):
+    """Per-document interpolated Kneser-Ney 4-GRAM perplexity — one
+    order below CCNet's operative 5-gram KenLM, same dataflow as the
+    bigram/trigram members.  Documents with fewer than 4 tokens have
+    no transitions and are omitted, matching the SQL twin's joins."""
+    if model_ref is None:
+        model_ref = kn_quadgram_model_ref(
+            quadgram_census(docs_ds, id_col=id_col,
+                            text_col=text_col),
+            discount=discount, quadgram_cap=quadgram_cap)
+    return docs_ds.map_batches(
+        KNQuadgramScorer, fn_constructor_args=(model_ref, id_col,
+                                               text_col),
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=concurrency, num_cpus=1)
+
+
 def lm_perplexity_kn(docs_ds, *, id_col: str = "doc_id",
                      text_col: str = "text", discount: float = 0.75,
                      bigram_cap: int | None = None, model_ref=None,

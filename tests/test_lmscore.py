@@ -337,3 +337,106 @@ def test_kn3_cross_corpus_model_reuse(ray_session):
     want = _kn3_oracle(DOCS)
     assert got[100] == pytest.approx(want[0], rel=1e-12)
     assert math.isfinite(got[101]) and got[101] > 0
+
+
+# ---------------- Kneser-Ney 4-gram tier ----------------------------
+
+def _kn4_oracle(docs, d=0.75):
+    """Python restatement of interpolated KN 4-gram with every lower
+    order's continuation counts derived from the next order's types."""
+    from collections import Counter
+    trans = []
+    for doc_id, text in docs:
+        toks = _re2_tokens(text)
+        trans += [(doc_id, a, b, c, e)
+                  for a, b, c, e in zip(toks, toks[1:], toks[2:],
+                                        toks[3:])]
+    quad = Counter((a, b, c, e) for _, a, b, c, e in trans)
+    c123, fan123 = Counter(), Counter()
+    t3 = set()
+    n1p234, n1pm23 = Counter(), Counter()
+    for (a, b, c, e), n in quad.items():
+        c123[(a, b, c)] += n
+        fan123[(a, b, c)] += 1
+        t3.add((b, c, e))
+        n1p234[(b, c, e)] += 1
+        n1pm23[(b, c)] += 1
+    fanm23 = Counter()
+    t2 = set()
+    n1p34, n1pm3 = Counter(), Counter()
+    for (b, c, e) in t3:
+        fanm23[(b, c)] += 1
+        t2.add((c, e))
+        n1p34[(c, e)] += 1
+        n1pm3[c] += 1
+    fanm3, n1p4 = Counter(), Counter()
+    for (c, e) in t2:
+        fanm3[c] += 1
+        n1p4[e] += 1
+    B = len(t2)
+    out = {}
+    for doc_id, a, b, c, e in trans:
+        pcont = n1p4[e] / B
+        p2 = (max(n1p34[(c, e)] - d, 0.0) / n1pm3[c]
+              + d * fanm3[c] / n1pm3[c] * pcont)
+        p3 = (max(n1p234[(b, c, e)] - d, 0.0) / n1pm23[(b, c)]
+              + d * fanm23[(b, c)] / n1pm23[(b, c)] * p2)
+        p = (max(quad[(a, b, c, e)] - d, 0.0) / c123[(a, b, c)]
+             + d * fan123[(a, b, c)] / c123[(a, b, c)] * p3)
+        out.setdefault(doc_id, []).append(-math.log(p))
+    return {k: sum(v) / len(v) for k, v in out.items()}
+
+
+def _score_kn4(ds, **kw):
+    import ray
+    from nxsearch_ray.stages.lmscore import lm_perplexity_kn4
+    tbs = [t for t in ray.get(lm_perplexity_kn4(ds, **kw)
+                              .to_arrow_refs()) if t.num_columns]
+    tb = pa.concat_tables(tbs)
+    return dict(zip(tb.column("doc_id").to_pylist(),
+                    tb.column("logloss").to_pylist()))
+
+
+def test_kn4_matches_python_oracle(ray_session):
+    got = _score_kn4(_ds())
+    want = _kn4_oracle(DOCS)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_kn4_short_docs_omitted(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["just three words", "now exactly four words"])}))
+    got = _score_kn4(ds)
+    assert set(got) == {1}
+
+
+def test_kn4_cap_backoff(ray_session):
+    got = _score_kn4(_ds(), quadgram_cap=2)
+    full = _score_kn4(_ds())
+    assert set(got) == set(full)
+    for k in got:
+        assert got[k] >= full[k] - 1e-12
+        assert math.isfinite(got[k])
+
+
+def test_kn4_cross_corpus_unseen_backs_off(ray_session):
+    import ray
+    import ray.data as rd
+    from nxsearch_ray.stages.lmscore import (kn_quadgram_model_ref,
+                                             lm_perplexity_kn4,
+                                             quadgram_census)
+    model = kn_quadgram_model_ref(quadgram_census(_ds()))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([9], type=pa.int64()),
+        "text": pa.array(["zz yy xx ww vv"])}))
+    got = {}
+    for t in ray.get(lm_perplexity_kn4(
+            new, model_ref=model).to_arrow_refs()):
+        if t.num_columns:
+            got.update(zip(t.column("doc_id").to_pylist(),
+                           t.column("logloss").to_pylist()))
+    assert math.isfinite(got[9]) and got[9] > 0
